@@ -1,0 +1,117 @@
+"""Qwen2.5-VL text decoder (Qwen2 architecture + M-RoPE) — functional JAX.
+
+Replaces the reference's Megatron GPTModel + TE attention
+(`mcore_adapter/models/qwen2_5_vl/modeling_qwen2_5_vl.py:77-122`). Layers run under
+`lax.scan` over stacked params; GQA KV heads are broadcast inside the attention op.
+Sharding is applied externally via NamedSharding on the stacked param pytree
+(parallel/sharding.py) — GSPMD partitions the scan body once.
+
+Supports an optional KV cache for autoregressive decode: pass `cache` (dict with
+"k"/"v" of shape (layers, B, Lmax, Hkv, D) and "length" (B,)); new tokens are
+written at position `cache_positions` and attention runs over the full cache with
+position-based masking.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ...ops.attention import dense_attention
+from ...ops.norms import rms_norm, swiglu
+from .config import TextConfig
+from .rope import apply_rotary
+
+
+def attention_layer(cfg: TextConfig, p: Dict, x: jnp.ndarray,
+                    cos: jnp.ndarray, sin: jnp.ndarray,
+                    attention_mask: Optional[jnp.ndarray],
+                    q_positions: jnp.ndarray,
+                    cache_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+                    cache_positions: Optional[jnp.ndarray] = None,
+                    kv_valid: Optional[jnp.ndarray] = None):
+    """Self-attention with M-RoPE. x: (B, L, hidden).
+
+    Without cache: causal over the input sequence.
+    With cache: (k_cache, v_cache) (B, Lmax, Hkv, D); new k/v scattered at
+    cache_positions (B, L); attention over cache with kv_valid mask + causal by
+    absolute positions. Returns (out, new_k_cache, new_v_cache).
+    """
+    B, L, _ = x.shape
+    H, Hkv, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    q = (x @ p["q_w"] + p["q_b"]).reshape(B, L, H, D)
+    k = (x @ p["k_w"] + p["k_b"]).reshape(B, L, Hkv, D)
+    v = (x @ p["v_w"] + p["v_b"]).reshape(B, L, Hkv, D)
+    q, k = apply_rotary(q, k, cos, sin)
+
+    if cache_kv is None:
+        out = dense_attention(q, k, v, causal=True, attention_mask=attention_mask,
+                              q_positions=q_positions)
+        new_cache = (None, None)
+    else:
+        k_cache, v_cache = cache_kv
+        bidx = jnp.arange(B)[:, None]
+        k_cache = k_cache.at[bidx, cache_positions].set(k.astype(k_cache.dtype))
+        v_cache = v_cache.at[bidx, cache_positions].set(v.astype(v_cache.dtype))
+        Lmax = k_cache.shape[1]
+        kv_pos = jnp.broadcast_to(jnp.arange(Lmax)[None, :], (B, Lmax))
+        out = dense_attention(q, k_cache.astype(q.dtype), v_cache.astype(q.dtype),
+                              causal=True, attention_mask=kv_valid,
+                              q_positions=cache_positions, kv_positions=kv_pos)
+        new_cache = (k_cache, v_cache)
+    return out.reshape(B, L, H * D) @ p["o_w"], new_cache
+
+
+def decoder_layer(cfg: TextConfig, p: Dict, x, cos, sin, attention_mask, q_positions,
+                  cache_kv=None, cache_positions=None, kv_valid=None):
+    h, new_cache = attention_layer(
+        cfg, {k: p[k] for k in ("q_w", "q_b", "k_w", "k_b", "v_w", "v_b", "o_w")},
+        rms_norm(x, p["input_ln"], cfg.rms_norm_eps),
+        cos, sin, attention_mask, q_positions, cache_kv, cache_positions, kv_valid)
+    x = x + h
+    h2 = rms_norm(x, p["post_ln"], cfg.rms_norm_eps)
+    x = x + swiglu(h2, p["gate_w"], p["up_w"], p["down_w"])
+    return x, new_cache
+
+
+def text_decoder(
+    cfg: TextConfig,
+    params: Dict,                      # {"layers": stacked pytree, "final_ln": ...}
+    inputs_embeds: jnp.ndarray,        # (B, L, hidden)
+    cos: jnp.ndarray,                  # (B, L, head_dim)
+    sin: jnp.ndarray,
+    attention_mask: Optional[jnp.ndarray] = None,  # (B, L)
+    q_positions: Optional[jnp.ndarray] = None,     # (B, L) absolute (for causal)
+    cache: Optional[Dict] = None,      # {"k","v": (layers,B,Lmax,Hkv,D), "kv_valid": (B,Lmax)}
+    cache_positions: Optional[jnp.ndarray] = None,
+    remat: bool = False,
+) -> Tuple[jnp.ndarray, Optional[Dict]]:
+    """Returns (B, L, hidden) final hidden states (post final norm) + updated cache."""
+    B, L, _ = inputs_embeds.shape
+    if q_positions is None:
+        q_positions = jnp.broadcast_to(jnp.arange(L)[None, :], (B, L))
+
+    layer_fn = decoder_layer
+    if remat:
+        layer_fn = jax.checkpoint(decoder_layer, static_argnums=(0,))
+
+    if cache is None:
+        def body(h, p):
+            h, _ = layer_fn(cfg, p, h, cos, sin, attention_mask, q_positions)
+            return h, None
+        x, _ = jax.lax.scan(body, inputs_embeds, params["layers"])
+        new_cache = None
+    else:
+        def body(h, layer):
+            p, kc, vc = layer
+            h, (nk, nv) = layer_fn(cfg, p, h, cos, sin, None, q_positions,
+                                   cache_kv=(kc, vc), cache_positions=cache_positions,
+                                   kv_valid=cache["kv_valid"])
+            return h, (nk, nv)
+        x, (nk, nv) = jax.lax.scan(body, inputs_embeds,
+                                   (params["layers"], cache["k"], cache["v"]))
+        new_cache = {"k": nk, "v": nv, "kv_valid": cache["kv_valid"]}
+
+    return rms_norm(x, params["final_ln"], cfg.rms_norm_eps), new_cache

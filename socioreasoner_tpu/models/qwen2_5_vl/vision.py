@@ -1,0 +1,119 @@
+"""Qwen2.5-VL vision tower (ViT with window attention) — functional JAX.
+
+TPU-first design decisions vs the reference GPU stack
+(`mcore_adapter/models/qwen2_5_vl/modeling_qwen2_5_vl.py:186-202` wraps the HF ViT
+with flash-attention-2 varlen):
+  * Conv3d patch embed == one matmul: the conv kernel equals its stride, so each
+    patch row (C*tps*ps*ps) hits the MXU as a single (S, in) @ (in, hidden) GEMM.
+  * Window attention == segment-masked batched attention: instead of splitting the
+    sequence per cu_seqlens (dynamic shapes), patches are host-permuted into
+    window-contiguous order and every block attends under a per-patch segment-id
+    equality mask — static shapes, one big attention per layer.
+  * All `depth` blocks run under one `lax.scan` over stacked params (fast compile);
+    full-attention layers (fullatt_block_indexes) just swap the segment-id array.
+
+Host-side bookkeeping (permutation, rope tables, segment ids) lives in rope.py:
+`vision_window_index` / `vision_rope_cos_sin`.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...ops.attention import dense_attention
+from ...ops.norms import rms_norm, swiglu
+from .config import VisionConfig
+from . import rope as rope_mod
+
+
+def vision_block(cfg: VisionConfig, p: Dict, x: jnp.ndarray, cos: jnp.ndarray,
+                 sin: jnp.ndarray, seg: jnp.ndarray) -> jnp.ndarray:
+    """One ViT block. x: (S, hidden); seg: (S,) attention segment ids."""
+    S = x.shape[0]
+    H, D = cfg.num_heads, cfg.head_dim
+    h = rms_norm(x, p["norm1"], cfg.rms_norm_eps)
+    qkv = h @ p["qkv_w"] + p["qkv_b"]                    # (S, 3*hidden)
+    q, k, v = jnp.split(qkv.reshape(S, 3, H, D), 3, axis=1)
+    q, k, v = q[:, 0], k[:, 0], v[:, 0]                  # (S, H, D)
+    # rotary (cos/sin are (S, D)); float32 rotation like HF
+    q32, k32 = q.astype(jnp.float32), k.astype(jnp.float32)
+    c, s = cos[:, None, :], sin[:, None, :]
+    q = (q32 * c + rope_mod.rotate_half(q32) * s).astype(x.dtype)
+    k = (k32 * c + rope_mod.rotate_half(k32) * s).astype(x.dtype)
+    attn = dense_attention(q[None], k[None], v[None],
+                           segment_ids_q=seg[None], segment_ids_kv=seg[None])[0]
+    x = x + (attn.reshape(S, H * D) @ p["proj_w"] + p["proj_b"])
+    h2 = rms_norm(x, p["norm2"], cfg.rms_norm_eps)
+    x = x + swiglu(h2, p["gate_w"], p["up_w"], p["down_w"],
+                   p["gate_b"], p["up_b"], p["down_b"])
+    return x
+
+
+def vision_tower(
+    cfg: VisionConfig,
+    params: Dict,
+    patches: jnp.ndarray,      # (S, patch_input_dim) — already window-permuted
+    cos: jnp.ndarray,          # (S, head_dim) — window-permuted rope table
+    sin: jnp.ndarray,
+    window_seg: jnp.ndarray,   # (S,) window segment ids
+    full_seg: jnp.ndarray,     # (S,) per-image segment ids
+    is_full_layer: jnp.ndarray,  # (depth,) bool — use full_seg in this layer
+) -> jnp.ndarray:
+    """Returns (S // spatial_merge_unit, out_hidden) merged embeddings, still in
+    window order (caller applies the inverse permutation)."""
+    x = (patches @ params["patch_embed_w"]).astype(patches.dtype)
+
+    def body(h, layer):
+        p, is_full = layer
+        seg = jnp.where(is_full, full_seg, window_seg)
+        return vision_block(cfg, p, h, cos, sin, seg), None
+
+    x, _ = jax.lax.scan(body, x, (params["blocks"], is_full_layer))
+
+    # merger: RMSNorm then merge spatial_merge_unit patches → MLP
+    h = rms_norm(x, params["merger_ln_q"], cfg.rms_norm_eps)
+    h = h.reshape(-1, cfg.spatial_merge_unit * cfg.hidden_size)
+    h = h @ params["merger_fc1_w"] + params["merger_fc1_b"]
+    h = jax.nn.gelu(h, approximate=False)
+    return h @ params["merger_fc2_w"] + params["merger_fc2_b"]
+
+
+def vision_host_inputs(cfg: VisionConfig, pixel_patches: np.ndarray, grid_thw: np.ndarray):
+    """Host precompute: permute patches window-wise, build rope tables + segments.
+
+    Returns dict of device-ready arrays + inv_perm to restore merged order.
+    """
+    unit = cfg.spatial_merge_unit
+    window_index, window_seg, full_seg = rope_mod.vision_window_index(grid_thw, cfg)
+    cos, sin = rope_mod.vision_rope_cos_sin(grid_thw, cfg)
+    S = pixel_patches.shape[0]
+    # permute at merge-unit granularity
+    perm_units = window_index
+    patch_perm = (perm_units[:, None] * unit + np.arange(unit)[None, :]).reshape(-1)
+    return {
+        "patches": pixel_patches[patch_perm],
+        "cos": cos[patch_perm],
+        "sin": sin[patch_perm],
+        "window_seg": window_seg,
+        "full_seg": full_seg,
+        "is_full_layer": np.array([i in cfg.fullatt_block_indexes for i in range(cfg.depth)]),
+        "inv_perm": np.argsort(window_index),
+    }
+
+
+def run_vision(cfg: VisionConfig, params: Dict, pixel_patches: np.ndarray,
+               grid_thw: np.ndarray, dtype=None) -> jnp.ndarray:
+    """Convenience host→device wrapper returning merged embeddings in model order."""
+    if dtype is None:
+        dtype = params["patch_embed_w"].dtype
+    prep = vision_host_inputs(cfg, pixel_patches, grid_thw)
+    out = vision_tower(
+        cfg, params,
+        jnp.asarray(prep["patches"], dtype), jnp.asarray(prep["cos"]),
+        jnp.asarray(prep["sin"]), jnp.asarray(prep["window_seg"]),
+        jnp.asarray(prep["full_seg"]), jnp.asarray(prep["is_full_layer"]))
+    return out[jnp.asarray(prep["inv_perm"])]
