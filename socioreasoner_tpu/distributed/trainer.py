@@ -1,0 +1,134 @@
+"""Jitted GRPO/PPO train + logprob steps over a device mesh.
+
+Replaces the reference's MegatronTrainStrategy train path
+(`roll/distributed/strategy/megatron_strategy.py:355-409`: 1F1B fwd/bwd, dist
+optimizer, offload juggling). TPU-native: one jitted `train_step(state, batch)`
+with remat, optax optimizer sharded alongside params (ZeRO via the `fsdp` mesh
+axis), and no offload — every role shares the same resident weights.
+
+The logprob step plays `ActorWorker.compute_log_probs` (base_worker.py:206-246):
+token log-probs + entropy of the response region.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..models.qwen2_5_vl import model as qmodel
+from ..models.qwen2_5_vl.config import Qwen25VLConfig
+from ..pipeline.losses import PPOLossConfig, ppo_policy_loss
+from ..utils.functionals import entropy_from_logits, log_probs_from_logits
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+    @classmethod
+    def create(cls, params, optimizer: optax.GradientTransformation) -> "TrainState":
+        return cls(params=params, opt_state=optimizer.init(params),
+                   step=jnp.zeros((), jnp.int32))
+
+
+def make_optimizer(lr: float = 1e-6, weight_decay: float = 0.0, b1: float = 0.9,
+                   b2: float = 0.999, eps: float = 1e-8, max_grad_norm: float = 1.0,
+                   warmup_steps: int = 0, total_steps: Optional[int] = None,
+                   schedule: str = "constant") -> optax.GradientTransformation:
+    """Optimizer factory (ref training_args lr/betas/clip; constant lr by default)."""
+    if schedule == "cosine" and total_steps:
+        sched = optax.warmup_cosine_decay_schedule(0.0, lr, warmup_steps, total_steps)
+    elif warmup_steps > 0:
+        sched = optax.linear_schedule(0.0, lr, warmup_steps)
+    else:
+        sched = lr
+    return optax.chain(
+        optax.clip_by_global_norm(max_grad_norm),
+        optax.adamw(sched, b1=b1, b2=b2, eps=eps, weight_decay=weight_decay),
+    )
+
+
+def _model_log_probs(config: Qwen25VLConfig, params, batch: Dict,
+                     remat: bool, with_entropy: bool = True):
+    """Forward → (logp of next-token labels, entropy), both (B, L-1)."""
+    logits, _ = qmodel.forward(
+        config, params, batch["input_ids"], batch["position_ids"],
+        batch.get("attention_mask"),
+        image_embeds=batch.get("image_embeds"),
+        vision_inputs=batch.get("vision_inputs"),
+        remat=remat)
+    shift_logits = logits[:, :-1]
+    labels = batch["input_ids"][:, 1:]
+    lp = log_probs_from_logits(shift_logits, labels)
+    ent = entropy_from_logits(shift_logits) if with_entropy else jnp.zeros_like(lp)
+    return lp, ent
+
+
+def make_train_step(config: Qwen25VLConfig, loss_cfg: PPOLossConfig,
+                    optimizer: optax.GradientTransformation, remat: bool = True
+                    ) -> Callable[[TrainState, Dict], Tuple[TrainState, Dict]]:
+    """Build the jittable GRPO train step.
+
+    batch keys: input_ids (B,L), attention_mask, position_ids (B,3,L),
+    response_mask (B,L), advantages/old_log_probs/ref_log_probs (B,L-1),
+    optional image_embeds / vision_inputs, optional sample weights.
+    """
+
+    def train_step(state: TrainState, batch: Dict) -> Tuple[TrainState, Dict]:
+        def loss_fn(params):
+            lp, ent = _model_log_probs(config, params, batch, remat,
+                                       with_entropy=True)
+            resp = batch["response_mask"][:, 1:]
+            return ppo_policy_loss(
+                lp, ent, batch["old_log_probs"], batch.get("ref_log_probs"),
+                batch["advantages"], resp, loss_cfg, batch.get("sample_weights"))
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics["actor_train/grad_norm"] = optax.global_norm(grads)
+        metrics["actor_train/loss"] = loss
+        return state.replace(params=new_params, opt_state=new_opt,
+                             step=state.step + 1), metrics
+
+    return train_step
+
+
+def make_logprob_step(config: Qwen25VLConfig, remat: bool = False
+                      ) -> Callable[[Any, Dict], Dict]:
+    """Forward-only: {"log_probs": (B,L-1), "entropy": (B,L-1)} masked to response."""
+
+    def logprob_step(params, batch: Dict) -> Dict:
+        lp, ent = _model_log_probs(config, params, batch, remat)
+        resp = batch["response_mask"][:, 1:].astype(lp.dtype)
+        return {"log_probs": lp * resp, "entropy": ent * resp}
+
+    return logprob_step
+
+
+def make_sft_step(config: Qwen25VLConfig, optimizer: optax.GradientTransformation,
+                  remat: bool = True):
+    """Supervised next-token CE step (the mcore_adapter McaTrainer role,
+    SURVEY.md §2.5 trainer/trainer.py)."""
+
+    def sft_step(state: TrainState, batch: Dict) -> Tuple[TrainState, Dict]:
+        def loss_fn(params):
+            lp, _ = _model_log_probs(config, params, batch, remat, with_entropy=False)
+            mask = batch["loss_mask"][:, 1:].astype(jnp.float32)
+            loss = -(lp * mask).sum() / (mask.sum() + 1e-8)
+            return loss, {"sft/loss": loss}
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics["sft/grad_norm"] = optax.global_norm(grads)
+        return state.replace(params=new_params, opt_state=new_opt,
+                             step=state.step + 1), metrics
+
+    return sft_step

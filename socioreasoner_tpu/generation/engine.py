@@ -1,0 +1,326 @@
+"""DecodeEngine — TPU-native continuous-batching autoregressive decoder.
+
+Replaces vLLM (ref §2.10: paged-KV continuous batching, `roll/distributed/
+strategy/vllm_strategy.py`). TPU-first design:
+
+  * Slot-based static KV cache (layers, S slots, Lmax, Hkv, D) — static shapes,
+    no dynamic paging; slot admission/release is host bookkeeping. (A Pallas
+    paged-attention kernel can swap in under the same interface later.)
+  * Prefill at bucketed prompt lengths (powers of two) — one compiled program
+    per bucket, writes the slot's KV rows and samples the first token.
+  * Chunked device decode loop — `lax.fori_loop` generates `decode_chunk`
+    tokens for ALL active slots per host round-trip (the host↔device latency
+    amortization vLLM gets from its C++ engine loop).
+  * Per-slot sampling params as arrays → mixed greedy/stochastic in one batch.
+  * M-RoPE: text continuation positions are `next_pos` scalars broadcast to the
+    3 axes (t==h==w after the prompt; ref functionals.py:806-860 semantics).
+
+Request lifecycle mirrors the reference server contract (ADD/ABORT/STOP/
+ALIVE_CHECK — functionals.py:761, base_worker.py:343-381) via server.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..models.qwen2_5_vl import model as qmodel
+from ..models.qwen2_5_vl.config import Qwen25VLConfig
+from ..models.qwen2_5_vl.rope import make_inv_freq, mrope_channel_axis, mrope_cos_sin
+from .sampling import SamplingParams, sample_tokens
+
+
+def _bucket(n: int, buckets: Tuple[int, ...]) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    raise ValueError(f"prompt length {n} exceeds max bucket {buckets[-1]}")
+
+
+@dataclasses.dataclass
+class Request:
+    request_id: Any
+    prompt_ids: List[int]
+    sampling: SamplingParams
+    image_embeds: Optional[np.ndarray] = None
+    position_ids: Optional[np.ndarray] = None   # (3, P) M-RoPE prompt positions
+    callback: Optional[Callable] = None
+    meta: Optional[Dict] = None
+    # runtime
+    slot: int = -1
+    output_ids: List[int] = dataclasses.field(default_factory=list)
+    finished: bool = False
+    aborted: bool = False
+
+
+@dataclasses.dataclass
+class EngineOutput:
+    request_id: Any
+    prompt_ids: List[int]
+    output_ids: List[int]
+    finish_reason: str                  # "stop" | "length" | "abort"
+    meta: Optional[Dict] = None
+
+
+class DecodeEngine:
+    def __init__(self, config: Qwen25VLConfig, params, *, max_slots: int = 8,
+                 max_len: int = 8192, decode_chunk: int = 16,
+                 prefill_buckets: Tuple[int, ...] = (128, 256, 512, 1024, 2048, 4096),
+                 image_buckets: Tuple[int, ...] = (0, 512, 1024, 2048),
+                 cache_dtype=jnp.bfloat16, seed: int = 0):
+        self.config = config
+        self.params = params
+        self.S = max_slots
+        self.Lmax = max_len
+        self.decode_chunk = decode_chunk
+        self.prefill_buckets = tuple(b for b in prefill_buckets if b <= max_len)
+        self.image_buckets = image_buckets
+        t = config.text
+        L, Hkv, D = t.num_hidden_layers, t.num_key_value_heads, t.head_dim
+
+        # decode_chunk slack: a chunk may overshoot max_len before the host
+        # notices; keep scatters in bounds
+        self.Lalloc = max_len + decode_chunk
+        self.k_cache = jnp.zeros((L, self.S, self.Lalloc, Hkv, D), cache_dtype)
+        self.v_cache = jnp.zeros((L, self.S, self.Lalloc, Hkv, D), cache_dtype)
+        self.lengths = np.zeros(self.S, np.int32)         # host copy
+        self.next_pos = np.zeros(self.S, np.int32)        # next M-RoPE position value
+        self.last_token = np.zeros(self.S, np.int32)
+        self.free_slots = list(range(self.S))
+        self.slot_req: Dict[int, Request] = {}
+
+        self.waiting: List[Request] = []
+        self._rng = jax.random.key(seed)
+        self._jit_prefill = {}
+        self._jit_decode = jax.jit(self._decode_loop, static_argnames=("n_steps",),
+                                   donate_argnums=(1, 2))
+        self._embed_dtype = jax.tree.leaves(params)[0].dtype
+
+    # ------------------------------------------------------------------ public
+    def add_request(self, request_id, prompt_ids, sampling: SamplingParams,
+                    image_embeds: Optional[np.ndarray] = None,
+                    position_ids: Optional[np.ndarray] = None,
+                    callback: Optional[Callable] = None,
+                    meta: Optional[Dict] = None):
+        self.waiting.append(Request(
+            request_id=request_id, prompt_ids=list(map(int, prompt_ids)),
+            sampling=sampling, image_embeds=image_embeds,
+            position_ids=position_ids, callback=callback, meta=meta))
+
+    def abort_request(self, request_id) -> bool:
+        for r in self.waiting:
+            if r.request_id == request_id:
+                r.aborted = True
+                self.waiting.remove(r)
+                return True
+        for slot, r in list(self.slot_req.items()):
+            if r.request_id == request_id:
+                r.aborted = True
+                self._release(slot)
+                return True
+        return False
+
+    def has_work(self) -> bool:
+        return bool(self.waiting or self.slot_req)
+
+    def num_waiting(self) -> int:
+        return len(self.waiting)
+
+    def num_running(self) -> int:
+        return len(self.slot_req)
+
+    def step(self) -> List[EngineOutput]:
+        """Admit waiting requests, decode one chunk, return finished outputs."""
+        outputs: List[EngineOutput] = []
+        while self.waiting and self.free_slots:
+            req = self.waiting.pop(0)
+            self._admit(req, outputs)
+        if self.slot_req:
+            outputs.extend(self._decode_chunk())
+        return outputs
+
+    def generate(self, requests: List[Request]) -> List[EngineOutput]:
+        """Batch API: run all requests to completion (ref strategy.generate)."""
+        for r in requests:
+            self.waiting.append(r)
+        done: List[EngineOutput] = []
+        while self.has_work():
+            done.extend(self.step())
+        order = {r.request_id: i for i, r in enumerate(requests)}
+        return sorted(done, key=lambda o: order.get(o.request_id, 1 << 30))
+
+    # ---------------------------------------------------------------- internals
+    def _release(self, slot: int):
+        self.slot_req.pop(slot, None)
+        self.lengths[slot] = 0
+        self.free_slots.append(slot)
+
+    def _admit(self, req: Request, outputs: List[EngineOutput]):
+        P = len(req.prompt_ids)
+        bucket = _bucket(P, self.prefill_buckets)
+        slot = self.free_slots.pop(0)
+        req.slot = slot
+        self.slot_req[slot] = req
+
+        ids = np.full((1, bucket), self.config.pad_token_id, np.int32)
+        ids[0, :P] = req.prompt_ids
+        attn = np.zeros((1, bucket), np.int32)
+        attn[0, :P] = 1
+        if req.position_ids is not None:
+            pos = np.ones((1, 3, bucket), np.int64)
+            pos[0, :, :P] = req.position_ids
+            next_pos = int(req.position_ids.max()) + 1
+        else:
+            p = np.clip(np.arange(bucket), 0, P - 1)
+            pos = np.broadcast_to(p[None, None, :], (1, 3, bucket)).copy()
+            next_pos = P
+
+        n_img = 0 if req.image_embeds is None else req.image_embeds.shape[0]
+        img_bucket = _bucket(n_img, self.image_buckets) if n_img else 0
+        if img_bucket:
+            img = np.zeros((img_bucket, self.config.text.hidden_size), np.float32)
+            img[:n_img] = req.image_embeds
+            img = jnp.asarray(img, self._embed_dtype)
+        else:
+            img = None
+
+        fn = self._get_prefill(bucket, img_bucket)
+        self._rng, key = jax.random.split(self._rng)
+        s = req.sampling
+        temp = 0.0 if not s.do_sample else s.temperature
+        self.k_cache, self.v_cache, first_tok = fn(
+            self.params, self.k_cache, self.v_cache, jnp.asarray(ids),
+            jnp.asarray(pos), jnp.asarray(attn), jnp.int32(slot), jnp.int32(P),
+            img, key, jnp.float32(temp), jnp.float32(s.top_p), jnp.int32(s.top_k))
+        tok = int(first_tok[0])
+        # cache holds the P prompt tokens; the first sampled token is written at
+        # position P (= lengths) by the first decode step, with position next_pos
+        self.lengths[slot] = P
+        self.next_pos[slot] = next_pos
+        self.last_token[slot] = tok
+        req.output_ids.append(tok)
+        self._maybe_finish(req, outputs)
+
+    def _maybe_finish(self, req: Request, outputs: List[EngineOutput]):
+        tok = req.output_ids[-1] if req.output_ids else None
+        reason = None
+        if tok == self.config.eos_token_id:
+            reason = "stop"
+        elif len(req.output_ids) >= req.sampling.max_new_tokens:
+            reason = "length"
+        elif self.lengths[req.slot] >= self.Lmax:
+            reason = "length"
+        if reason:
+            req.finished = True
+            out = EngineOutput(req.request_id, req.prompt_ids, req.output_ids,
+                               reason, req.meta)
+            self._release(req.slot)
+            outputs.append(out)
+            if req.callback is not None:
+                req.callback(out)
+
+    def _decode_chunk(self) -> List[EngineOutput]:
+        active = np.zeros(self.S, bool)
+        temps = np.zeros(self.S, np.float32)
+        top_ps = np.ones(self.S, np.float32)
+        top_ks = np.zeros(self.S, np.int32)
+        for slot, req in self.slot_req.items():
+            active[slot] = True
+            s = req.sampling
+            temps[slot] = s.temperature if s.do_sample else 0.0
+            top_ps[slot] = s.top_p
+            top_ks[slot] = s.top_k
+        self._rng, key = jax.random.split(self._rng)
+        n = self.decode_chunk
+        self.k_cache, self.v_cache, toks, new_len, new_pos = self._jit_decode(
+            self.params, self.k_cache, self.v_cache,
+            jnp.asarray(self.last_token), jnp.asarray(self.lengths),
+            jnp.asarray(self.next_pos), jnp.asarray(active),
+            jnp.asarray(temps), jnp.asarray(top_ps), jnp.asarray(top_ks),
+            key, n_steps=n)
+        toks = np.asarray(toks)          # (S, n)
+        new_len = np.asarray(new_len)
+        new_pos = np.asarray(new_pos)
+
+        outputs: List[EngineOutput] = []
+        for slot, req in list(self.slot_req.items()):
+            emitted = toks[slot]
+            for t in emitted:
+                req.output_ids.append(int(t))
+                if (int(t) == self.config.eos_token_id
+                        or len(req.output_ids) >= req.sampling.max_new_tokens):
+                    break
+            self.lengths[slot] = new_len[slot]
+            self.next_pos[slot] = new_pos[slot]
+            if emitted.size:
+                self.last_token[slot] = int(emitted[-1])
+            self._maybe_finish(req, outputs)
+        return outputs
+
+    # ----------------------------------------------------------- jitted kernels
+    def _get_prefill(self, bucket: int, img_bucket: int):
+        key = (bucket, img_bucket)
+        if key not in self._jit_prefill:
+            self._jit_prefill[key] = jax.jit(self._prefill, donate_argnums=(1, 2))
+        return self._jit_prefill[key]
+
+    def _prefill(self, params, k_cache, v_cache, ids, pos, attn, slot, P,
+                 image_embeds, key, temp, top_p, top_k):
+        """Run the prompt through the model, write KV rows of `slot`, sample tok 1."""
+        cfg = self.config
+        bucket = ids.shape[1]
+        Lyr = cfg.text.num_hidden_layers
+        # local cache covering the bucket
+        local = {
+            "k": jnp.zeros((Lyr, 1, bucket, cfg.text.num_key_value_heads,
+                            cfg.text.head_dim), k_cache.dtype),
+            "v": jnp.zeros((Lyr, 1, bucket, cfg.text.num_key_value_heads,
+                            cfg.text.head_dim), v_cache.dtype),
+            "kv_valid": attn,
+        }
+        cache_positions = jnp.broadcast_to(jnp.arange(bucket)[None], (1, bucket))
+        logits, new_cache = qmodel.forward(
+            cfg, params, ids, pos, None, image_embeds=image_embeds,
+            cache=local, cache_positions=cache_positions)
+        last_logits = jnp.take_along_axis(
+            logits, (P - 1)[None, None, None].astype(jnp.int32), axis=1)[:, 0]  # (1, V)
+        tok = sample_tokens(last_logits, key, temp[None], top_p[None], top_k[None])
+        k_cache = jax.lax.dynamic_update_slice(
+            k_cache, new_cache["k"].astype(k_cache.dtype), (0, slot, 0, 0, 0))
+        v_cache = jax.lax.dynamic_update_slice(
+            v_cache, new_cache["v"].astype(v_cache.dtype), (0, slot, 0, 0, 0))
+        return k_cache, v_cache, tok
+
+    def _decode_loop(self, params, k_cache, v_cache, last_token, lengths, next_pos,
+                     active, temps, top_ps, top_ks, key, *, n_steps: int):
+        """Generate n_steps tokens for all active slots on-device."""
+        cfg = self.config
+        S = self.S
+
+        def body(i, carry):
+            k_cache, v_cache, last_token, lengths, next_pos, key, toks = carry
+            pos = jnp.broadcast_to(next_pos[:, None, None], (S, 3, 1)).astype(jnp.int64)
+            kv_valid = (jnp.arange(self.Lalloc)[None, :] < (lengths + 1)[:, None]).astype(jnp.int32)
+            cache = {"k": k_cache, "v": v_cache, "kv_valid": kv_valid}
+            logits, new_cache = qmodel.forward(
+                cfg, params, last_token[:, None], pos, None,
+                cache=cache, cache_positions=lengths[:, None])
+            key, sub = jax.random.split(key)
+            tok = sample_tokens(logits[:, 0], sub, temps, top_ps, top_ks)
+            tok = jnp.where(active, tok, cfg.pad_token_id).astype(jnp.int32)
+            toks = toks.at[:, i].set(tok)
+            lengths = jnp.where(active, lengths + 1, lengths)
+            next_pos = jnp.where(active, next_pos + 1, next_pos)
+            return (new_cache["k"], new_cache["v"], tok, lengths, next_pos, key, toks)
+
+        toks0 = jnp.zeros((S, n_steps), jnp.int32)
+        k_cache, v_cache, last_token, lengths, next_pos, key, toks = jax.lax.fori_loop(
+            0, n_steps, body,
+            (k_cache, v_cache, last_token, lengths, next_pos, key, toks0))
+        return k_cache, v_cache, toks, lengths, next_pos

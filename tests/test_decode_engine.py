@@ -1,0 +1,150 @@
+"""DecodeEngine tests: greedy decode must equal a naive full-forward argmax loop
+(self-consistency on the HF-parity-verified forward), plus continuous-batching
+behavior (mixed lengths, abort, server contract)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from socioreasoner_tpu.models.qwen2_5_vl.config import Qwen25VLConfig
+from socioreasoner_tpu.models.qwen2_5_vl import model as qmodel
+from socioreasoner_tpu.models.qwen2_5_vl import rope as qrope
+from socioreasoner_tpu.generation.engine import DecodeEngine, Request
+from socioreasoner_tpu.generation.sampling import SamplingParams, sample_tokens
+from socioreasoner_tpu.utils.functionals import GenerateRequestType
+
+
+@pytest.fixture(scope="module")
+def setup():
+    config = Qwen25VLConfig.tiny()
+    params = qmodel.init_params(config, jax.random.key(7), dtype=jnp.float32,
+                                with_vision=False)
+    return config, params
+
+
+def naive_greedy(config, params, prompt_ids, max_new):
+    """Full re-forward per token — the reference implementation."""
+    ids = list(prompt_ids)
+    for _ in range(max_new):
+        arr = np.array([ids])
+        attn = np.ones_like(arr)
+        pos, _ = qrope.get_rope_index(config, arr, None, attn)
+        logits, _ = qmodel.forward(config, params, jnp.asarray(arr),
+                                   jnp.asarray(pos), jnp.asarray(attn))
+        tok = int(np.argmax(np.array(logits[0, -1])))
+        ids.append(tok)
+        if tok == config.eos_token_id:
+            break
+    return ids[len(prompt_ids):]
+
+
+def greedy_params(max_new=8):
+    return SamplingParams(temperature=0.0, do_sample=False, max_new_tokens=max_new)
+
+
+def test_engine_greedy_matches_naive(setup):
+    config, params = setup
+    engine = DecodeEngine(config, params, max_slots=2, max_len=64, decode_chunk=4,
+                          prefill_buckets=(16, 32), cache_dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    prompts = [rng.integers(2, 200, size=n).tolist() for n in (5, 9)]
+    reqs = [Request(request_id=i, prompt_ids=p, sampling=greedy_params(8))
+            for i, p in enumerate(prompts)]
+    outs = engine.generate(reqs)
+    assert len(outs) == 2
+    for i, out in enumerate(outs):
+        want = naive_greedy(config, params, prompts[i], 8)
+        assert out.output_ids[:len(want)] == want, f"req {i}: {out.output_ids} vs {want}"
+
+
+def test_engine_more_requests_than_slots(setup):
+    config, params = setup
+    engine = DecodeEngine(config, params, max_slots=2, max_len=64, decode_chunk=4,
+                          prefill_buckets=(16,), cache_dtype=jnp.float32)
+    rng = np.random.default_rng(1)
+    prompts = [rng.integers(2, 200, size=6).tolist() for _ in range(5)]
+    reqs = [Request(request_id=i, prompt_ids=p, sampling=greedy_params(4))
+            for i, p in enumerate(prompts)]
+    outs = engine.generate(reqs)
+    assert len(outs) == 5
+    assert [o.request_id for o in outs] == list(range(5))
+    for i, out in enumerate(outs):
+        want = naive_greedy(config, params, prompts[i], 4)
+        assert out.output_ids[:len(want)] == want
+
+
+def test_engine_abort(setup):
+    config, params = setup
+    engine = DecodeEngine(config, params, max_slots=2, max_len=64, decode_chunk=2,
+                          prefill_buckets=(16,), cache_dtype=jnp.float32)
+    engine.add_request(0, [5, 6, 7], greedy_params(1000))
+    engine.add_request(1, [8, 9, 10], greedy_params(4))
+    engine.step()
+    assert engine.num_running() == 2
+    assert engine.abort_request(0)
+    assert engine.num_running() == 1
+    outs = []
+    while engine.has_work():
+        outs.extend(engine.step())
+    assert [o.request_id for o in outs] == [1]
+
+
+def test_engine_sampling_reproducible(setup):
+    config, params = setup
+    sp = SamplingParams(temperature=0.8, top_p=0.9, top_k=20, max_new_tokens=6)
+    outs = []
+    for _ in range(2):
+        engine = DecodeEngine(config, params, max_slots=1, max_len=64,
+                              decode_chunk=3, prefill_buckets=(16,),
+                              cache_dtype=jnp.float32, seed=42)
+        o = engine.generate([Request(request_id=0, prompt_ids=[5, 6, 7, 8], sampling=sp)])
+        outs.append(o[0].output_ids)
+    assert outs[0] == outs[1]  # same seed → same trajectory
+
+
+def test_sample_tokens_distribution():
+    key = jax.random.key(0)
+    logits = jnp.array([[0.0, 10.0, 0.0, 0.0], [5.0, 0.0, 0.0, 0.0]])
+    # greedy rows
+    toks = sample_tokens(logits, key, jnp.array([0.0, 0.0]),
+                         jnp.array([1.0, 1.0]), jnp.array([0, 0]))
+    np.testing.assert_array_equal(np.array(toks), [1, 0])
+    # top_k=1 == greedy even with temperature
+    toks2 = sample_tokens(logits, key, jnp.array([1.0, 1.0]),
+                          jnp.array([1.0, 1.0]), jnp.array([1, 1]))
+    np.testing.assert_array_equal(np.array(toks2), [1, 0])
+    # top_p tiny == greedy
+    toks3 = sample_tokens(logits, key, jnp.array([1.0, 1.0]),
+                          jnp.array([1e-6, 1e-6]), jnp.array([0, 0]))
+    np.testing.assert_array_equal(np.array(toks3), [1, 0])
+
+
+def test_generate_server_contract(setup):
+    config, params = setup
+    from socioreasoner_tpu.generation.server import GenerateServer
+    engine = DecodeEngine(config, params, max_slots=2, max_len=64, decode_chunk=2,
+                          prefill_buckets=(16,), cache_dtype=jnp.float32)
+    server = GenerateServer(engine)
+    server.start()
+    results = {}
+    done = []
+
+    def cb(out):
+        results[out.request_id] = out.output_ids
+        done.append(out.request_id)
+
+    for i in range(3):
+        server.add_request(GenerateRequestType.ADD, {
+            "request_id": i, "prompt_ids": [5 + i, 6, 7],
+            "sampling": greedy_params(3), "callback": cb})
+    import time
+    deadline = time.time() + 60
+    while len(done) < 3 and time.time() < deadline:
+        time.sleep(0.05)
+    assert sorted(done) == [0, 1, 2]
+    ping = server.add_request(GenerateRequestType.ALIVE_CHECK)
+    assert ping["alive"]
+    server.stop()
+    assert not server.is_alive()
