@@ -1,0 +1,141 @@
+"""Golden parity: socioreasoner_tpu SAM2 vs HF torch Sam2Model (tiny random),
+float64 exactness (the BASELINE.json config-2 'prompt→mask pixel-IoU parity' gate)."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+jax.config.update("jax_enable_x64", True)
+import jax.numpy as jnp
+
+from socioreasoner_tpu.models.sam2.config import Sam2Config
+from socioreasoner_tpu.models.sam2 import model as smodel
+from socioreasoner_tpu.models.sam2 import encoder as senc
+from socioreasoner_tpu.models.sam2.loader import load_from_torch_state_dict
+
+
+@pytest.fixture(scope="module")
+def hf_sam2():
+    from transformers.models.sam2.configuration_sam2 import (
+        Sam2Config as HFSam2Config, Sam2HieraDetConfig, Sam2VisionConfig,
+        Sam2MaskDecoderConfig, Sam2PromptEncoderConfig)
+    from transformers.models.sam2.modeling_sam2 import Sam2Model
+    torch.manual_seed(0)
+    hiera = Sam2HieraDetConfig(
+        hidden_size=16, blocks_per_stage=[1, 2, 2, 1],
+        embed_dim_per_stage=[16, 32, 64, 128],
+        num_attention_heads_per_stage=[1, 2, 2, 4],
+        window_size_per_stage=[8, 4, 14, 7],
+        global_attention_blocks=[4], image_size=[128, 128])
+    vision = Sam2VisionConfig(
+        backbone_config=hiera, backbone_channel_list=[128, 64, 32, 16],
+        backbone_feature_sizes=[[32, 32], [16, 16], [8, 8]], fpn_hidden_size=32)
+    cfg = HFSam2Config(
+        vision_config=vision,
+        prompt_encoder_config=Sam2PromptEncoderConfig(hidden_size=32, image_size=128),
+        mask_decoder_config=Sam2MaskDecoderConfig(hidden_size=32, mlp_dim=64,
+                                                  num_attention_heads=2,
+                                                  iou_head_hidden_dim=32))
+    model = Sam2Model(cfg).double()
+    model.eval()
+    return model
+
+
+@pytest.fixture(scope="module")
+def jax_sam2(hf_sam2):
+    config = Sam2Config.tiny_test()
+    params = load_from_torch_state_dict(config, hf_sam2.state_dict(), jnp.float64)
+    return config, params
+
+
+@pytest.fixture(scope="module")
+def pixels():
+    rng = np.random.default_rng(0)
+    return rng.normal(size=(1, 3, 128, 128)).astype(np.float64)
+
+
+def test_vision_encoder_parity(hf_sam2, jax_sam2, pixels):
+    config, params = jax_sam2
+    with torch.no_grad():
+        out = hf_sam2.vision_encoder(torch.tensor(pixels))
+    want_fpn = [f.numpy() for f in out.fpn_hidden_states]  # high→low, NCHW
+
+    grid = (128 // 4, 128 // 4)
+    pos = senc.hiera_pos_embed(params["encoder"]["hiera"], config.hiera, *grid)
+    feats = senc.image_encoder_forward(
+        config, params["encoder"], jnp.asarray(pixels.transpose(0, 2, 3, 1)),
+        jnp.asarray(pos))
+    assert len(feats) == 3
+    for got, want in zip(feats, want_fpn):
+        got_nchw = np.array(got).transpose(0, 3, 1, 2)
+        np.testing.assert_allclose(got_nchw, want, atol=1e-6, rtol=1e-5)
+
+
+def _full_outputs(hf_sam2, jax_sam2, pixels, *, boxes=None, points=None, labels=None):
+    config, params = jax_sam2
+    kwargs = {}
+    if boxes is not None:
+        kwargs["input_boxes"] = torch.tensor(boxes, dtype=torch.float64)
+    if points is not None:
+        kwargs["input_points"] = torch.tensor(points, dtype=torch.float64)
+        kwargs["input_labels"] = torch.tensor(labels)
+    with torch.no_grad():
+        out = hf_sam2(pixel_values=torch.tensor(pixels), multimask_output=True, **kwargs)
+    grid = (128 // 4, 128 // 4)
+    pos = senc.hiera_pos_embed(params["encoder"]["hiera"], config.hiera, *grid)
+    embeddings = smodel.encode_image(config, params,
+                                     jnp.asarray(pixels.transpose(0, 2, 3, 1)),
+                                     jnp.asarray(pos))
+    from socioreasoner_tpu.models.sam2.decoder import image_wide_positional_embedding
+    image_pe = jnp.asarray(image_wide_positional_embedding(config.prompt, params["prompt"]))
+    masks, iou = smodel.predict_masks(
+        config, params, embeddings, image_pe,
+        jnp.asarray(points) if points is not None else None,
+        jnp.asarray(labels) if labels is not None else None,
+        jnp.asarray(boxes) if boxes is not None else None,
+        multimask_output=True)
+    return out, np.array(masks), np.array(iou)
+
+
+def test_box_prompt_parity(hf_sam2, jax_sam2, pixels):
+    boxes = np.array([[[20.0, 30.0, 90.0, 100.0], [5.0, 5.0, 60.0, 64.0]]])  # (1, 2, 4)
+    out, masks, iou = _full_outputs(hf_sam2, jax_sam2, pixels, boxes=boxes)
+    want_masks = out.pred_masks.numpy()
+    want_iou = out.iou_scores.numpy()
+    np.testing.assert_allclose(masks, want_masks, atol=1e-7, rtol=1e-5)
+    np.testing.assert_allclose(iou, want_iou, atol=1e-8, rtol=1e-6)
+
+
+def test_point_prompt_parity(hf_sam2, jax_sam2, pixels):
+    points = np.array([[[[40.0, 50.0], [70.0, 80.0]]]])   # (1, 1, 2, 2)
+    labels = np.array([[[1, 1]]])
+    out, masks, iou = _full_outputs(hf_sam2, jax_sam2, pixels,
+                                    points=points, labels=labels)
+    np.testing.assert_allclose(masks, out.pred_masks.numpy(), atol=1e-7, rtol=1e-5)
+    np.testing.assert_allclose(iou, out.iou_scores.numpy(), atol=1e-8, rtol=1e-6)
+
+
+def test_predictor_objects_union(jax_sam2):
+    """SocioSeg batched decode: union mask comes out at requested size."""
+    config, params = jax_sam2
+    pred = smodel.Sam2Predictor(config, params)
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 255, size=(96, 96, 3), dtype=np.uint8)
+    pred.set_image(img)
+    prompts = [{"box": [10, 10, 40, 40]},
+               {"box": [50, 50, 90, 90], "points": [[60, 60]], "labels": [1]}]
+    mask = pred.predict_objects_mask(prompts, out_size=(64, 64))
+    assert mask.shape == (64, 64) and mask.dtype == np.uint8
+    empty = pred.predict_objects_mask([], out_size=(64, 64))
+    assert empty.sum() == 0
+
+
+def test_bicubic_matches_torch():
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(7, 7, 3))
+    want = torch.nn.functional.interpolate(
+        torch.tensor(x.transpose(2, 0, 1)[None]), size=(32, 32), mode="bicubic"
+    ).numpy()[0].transpose(1, 2, 0)
+    got = senc.bicubic_resize_hw(x, 32, 32)
+    np.testing.assert_allclose(got, want, atol=1e-10)
