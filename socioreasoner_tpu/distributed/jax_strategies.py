@@ -1,0 +1,233 @@
+"""Concrete strategies: jax_train / jax_infer / jax_decode / seg_infer.
+
+These replace the reference backends (SURVEY.md §2.2): megatron_train/infer →
+JaxTrainStrategy/JaxInferStrategy (jitted steps over the mesh), vllm →
+JaxDecodeStrategy (DecodeEngine + GenerateServer), seg_infer → SegStrategy
+(Sam2Predictor). All share one ParamStore: `model_update` is a pointer swap
+("actor" → "rollout"), not a weight broadcast.
+
+Vision handling: the RL loop precomputes image embeddings once per batch (per-
+sample jitted ViT call; SocioSeg tiles share one shape bucket) and reuses them
+for rollout, old/ref logprobs and the train step. The ViT is frozen during RL
+(`model_args.freeze_vision_tower`, default true here) — full ViT finetuning
+routes through trainer.make_train_step's `vision_inputs` instead.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Callable, Dict, List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..configs.worker_config import WorkerConfig
+from ..generation.engine import DecodeEngine, Request
+from ..generation.sampling import SamplingParams
+from ..generation.server import GenerateServer
+from ..models.qwen2_5_vl import model as qmodel
+from ..models.qwen2_5_vl.config import Qwen25VLConfig
+from ..models.qwen2_5_vl.vision import run_vision
+from ..pipeline.losses import PPOLossConfig
+from ..protocol import BatchProto
+from ..utils.checkpoint import CheckpointManager
+from .strategy import InferenceStrategy, ParamStore, TrainStrategy
+from .trainer import TrainState, make_logprob_step, make_optimizer, make_train_step
+
+
+def compute_image_embeds(config: Qwen25VLConfig, params, pixel_values: np.ndarray,
+                         grid_thw: np.ndarray) -> np.ndarray:
+    """One sample's packed images → (S_merged, hidden) embeddings."""
+    return np.asarray(run_vision(config.vision, params["vision"], pixel_values,
+                                 grid_thw))
+
+
+def batch_image_embeds(config: Qwen25VLConfig, params, batch: BatchProto,
+                       prefix: str = "") -> List[Optional[np.ndarray]]:
+    out = []
+    pv_col = batch.non_tensor.get(f"{prefix}pixel_values")
+    grid_col = batch.non_tensor.get(f"{prefix}grid_thw")
+    for i in range(len(batch)):
+        pv = pv_col[i] if pv_col is not None else None
+        if pv is None:
+            out.append(None)
+        else:
+            out.append(compute_image_embeds(config, params, pv, grid_col[i]))
+    return out
+
+
+class JaxTrainStrategy(TrainStrategy):
+    """The actor-train backend (reference megatron_train role)."""
+
+    strategy_name = "jax_train"
+
+    def initialize(self, model_config: Qwen25VLConfig, params,
+                   loss_cfg: Optional[PPOLossConfig] = None,
+                   training_args=None, param_store: Optional[ParamStore] = None,
+                   checkpoint_dir: Optional[str] = None):
+        self.model_config = model_config
+        if param_store is not None:
+            self.param_store = param_store
+        ta = training_args
+        self.optimizer = make_optimizer(
+            lr=getattr(ta, "learning_rate", 1e-6),
+            weight_decay=getattr(ta, "weight_decay", 0.0),
+            b1=getattr(ta, "adam_beta1", 0.9), b2=getattr(ta, "adam_beta2", 0.999),
+            max_grad_norm=getattr(ta, "max_grad_norm", 1.0),
+            warmup_steps=getattr(ta, "warmup_steps", 0),
+            total_steps=getattr(ta, "max_steps", None) or None,
+            schedule=getattr(ta, "lr_scheduler_type", "constant"))
+        self.state = TrainState.create(params, self.optimizer)
+        self.loss_cfg = loss_cfg or PPOLossConfig()
+        self._train_step = jax.jit(make_train_step(
+            model_config, self.loss_cfg, self.optimizer))
+        self._logprob_step = jax.jit(make_logprob_step(model_config))
+        self.param_store.put("actor", self.state.params)
+        self.ckpt = CheckpointManager(checkpoint_dir) if checkpoint_dir else None
+
+    @property
+    def params(self):
+        return self.state.params
+
+    def train_step(self, batch: BatchProto, loss_func: Callable = None) -> Dict:
+        device_batch = {k: jnp.asarray(v) for k, v in batch.batch.items()}
+        if "image_embeds" in batch.meta:
+            device_batch["image_embeds"] = jnp.asarray(batch.meta["image_embeds"])
+        self.state, metrics = self._train_step(self.state, device_batch)
+        self.param_store.put("actor", self.state.params)
+        return {k: float(v) for k, v in metrics.items()}
+
+    def forward_step(self, batch: BatchProto, forward_func: Callable = None):
+        return self.compute_log_probs(batch)
+
+    def compute_log_probs(self, batch: BatchProto) -> Dict[str, np.ndarray]:
+        device_batch = {k: jnp.asarray(v) for k, v in batch.batch.items()}
+        if "image_embeds" in batch.meta:
+            device_batch["image_embeds"] = jnp.asarray(batch.meta["image_embeds"])
+        out = self._logprob_step(self.state.params, device_batch)
+        return {k: np.asarray(v) for k, v in out.items()}
+
+    def model_update(self, *args, **kwargs):
+        """Expose current weights to the rollout engine (ref model_update plane)."""
+        self.param_store.put("rollout", self.state.params)
+
+    def save_checkpoint(self, step: int, meta: Optional[Dict] = None, wait=False):
+        if self.ckpt:
+            self.ckpt.save(step, {"params": self.state.params,
+                                  "opt_state": self.state.opt_state},
+                           meta=meta, wait=wait)
+
+    def load_checkpoint(self, step: Optional[int] = None):
+        if not self.ckpt:
+            return None
+        restored, meta = self.ckpt.restore(
+            step, like={"params": self.state.params, "opt_state": self.state.opt_state})
+        if restored is not None:
+            self.state = self.state.replace(params=restored["params"],
+                                            opt_state=restored["opt_state"])
+            self.param_store.put("actor", self.state.params)
+        return meta
+
+
+class JaxInferStrategy(InferenceStrategy):
+    """Frozen-policy forward backend (reference megatron_infer / hf_infer role)."""
+
+    strategy_name = "jax_infer"
+
+    def initialize(self, model_config: Qwen25VLConfig, params,
+                   param_store: Optional[ParamStore] = None):
+        self.model_config = model_config
+        if param_store is not None:
+            self.param_store = param_store
+        self._params = params
+        self._logprob_step = jax.jit(make_logprob_step(model_config))
+
+    @property
+    def params(self):
+        return self._params
+
+    def compute_log_probs(self, batch: BatchProto) -> Dict[str, np.ndarray]:
+        device_batch = {k: jnp.asarray(v) for k, v in batch.batch.items()}
+        if "image_embeds" in batch.meta:
+            device_batch["image_embeds"] = jnp.asarray(batch.meta["image_embeds"])
+        out = self._logprob_step(self._params, device_batch)
+        return {k: np.asarray(v) for k, v in out.items()}
+
+    def forward_step(self, batch: BatchProto, forward_func: Callable = None):
+        return self.compute_log_probs(batch)
+
+
+class JaxDecodeStrategy(InferenceStrategy):
+    """Rollout backend (reference vllm role): continuous-batching engine +
+    request-level server."""
+
+    strategy_name = "jax_decode"
+
+    def initialize(self, model_config: Qwen25VLConfig, params=None,
+                   param_store: Optional[ParamStore] = None,
+                   engine_kwargs: Optional[Dict] = None):
+        self.model_config = model_config
+        if param_store is not None:
+            self.param_store = param_store
+        if params is not None:
+            self.param_store.put("rollout", params)
+        self.engine_kwargs = dict(engine_kwargs or {})
+        self._build_engine()
+        self.server: Optional[GenerateServer] = None
+
+    def _build_engine(self):
+        self.engine = DecodeEngine(self.model_config,
+                                   self.param_store.get("rollout"),
+                                   **self.engine_kwargs)
+
+    def model_update(self, *args, **kwargs):
+        """Pick up the latest rollout weights (pointer swap; cache is rebuilt)."""
+        self.engine.params = self.param_store.get("rollout")
+
+    # ------------------------------------------------------------- batch mode
+    def generate(self, batch: BatchProto, generating_args) -> np.ndarray:
+        """Batch generate (ref vllm_strategy.generate :114-141): returns
+        right-padded full sequences (prompt + response), n per prompt."""
+        sp = SamplingParams.from_generating_args(generating_args)
+        n = generating_args.num_return_sequences
+        pad_id = self.model_config.pad_token_id
+        requests = []
+        embeds = batch.meta.get("image_embeds_list")
+        for i in range(len(batch)):
+            ids = batch.batch["input_ids"][i]
+            attn = batch.batch["attention_mask"][i]
+            valid = np.asarray(attn) == 1
+            prompt_ids = np.asarray(ids)[valid].tolist()
+            pos = None
+            if "position_ids" in batch.batch:
+                pos = np.asarray(batch.batch["position_ids"][i])[:, valid]
+            for j in range(n):
+                requests.append(Request(
+                    request_id=(i, j), prompt_ids=prompt_ids, sampling=sp,
+                    image_embeds=None if embeds is None else embeds[i],
+                    position_ids=pos))
+        outs = self.engine.generate(requests)
+        max_len = max(len(o.prompt_ids) + len(o.output_ids) for o in outs)
+        result = np.full((len(outs), max_len), pad_id, np.int64)
+        order = {(i, j): i * n + j for i in range(len(batch)) for j in range(n)}
+        for o in outs:
+            row = order[o.request_id]
+            seq = o.prompt_ids + o.output_ids
+            result[row, :len(seq)] = seq
+        return result
+
+    # ------------------------------------------------------------ server mode
+    def start_server(self, data: Optional[BatchProto] = None):
+        if self.server is None:
+            self.server = GenerateServer(self.engine)
+        self.server.start()
+
+    def add_request(self, command, data):
+        assert self.server is not None, "start_server first"
+        return self.server.add_request(command, data)
+
+    def stop_server(self):
+        if self.server is not None:
+            self.server.stop()

@@ -1,0 +1,46 @@
+"""SAM2 mask-decode strategy (reference seg_infer, seg_strategy.py:26-80).
+
+Behavior parity: per sample — resize image to 756×756, encode once, decode every
+parsed visual prompt, OR the best-scoring masks, emit a 768×768 uint8 mask.
+TPU-shaped: all K prompts of a sample decode in one device call
+(Sam2Predictor.predict_objects_mask)."""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+from PIL import Image
+
+from ..models.sam2.config import Sam2Config
+from ..models.sam2.model import Sam2Predictor
+from ..protocol import BatchProto
+from .strategy import InferenceStrategy
+
+SEG_INPUT_SIZE = (756, 756)    # ref seg_strategy.py:38
+SEG_OUTPUT_SIZE = (768, 768)   # ref seg_strategy.py:43,65
+
+
+class SegStrategy(InferenceStrategy):
+    strategy_name = "seg_infer"
+
+    def initialize(self, sam_config: Sam2Config, params):
+        self.sam_config = sam_config
+        self.predictor = Sam2Predictor(sam_config, params)
+
+    def segment(self, batch: BatchProto) -> List[Dict[str, np.ndarray]]:
+        """batch columns: seg_image (PIL), visual_prompt (list of per-object
+        dicts with box/points/labels). Returns [{"mask": (768,768) uint8}]."""
+        results = []
+        for i in range(len(batch)):
+            image = batch.non_tensor["seg_image"][i]
+            prompts = batch.non_tensor["visual_prompt"][i]
+            if prompts is None or len(prompts) == 0:
+                results.append({"mask": np.zeros(SEG_OUTPUT_SIZE, np.uint8)})
+                continue
+            img = image.resize(SEG_INPUT_SIZE) if isinstance(image, Image.Image) \
+                else Image.fromarray(np.asarray(image)).resize(SEG_INPUT_SIZE)
+            self.predictor.set_image(img)
+            mask = self.predictor.predict_objects_mask(list(prompts), SEG_OUTPUT_SIZE)
+            results.append({"mask": mask})
+        return results

@@ -1,0 +1,190 @@
+"""SocioSegInferPipeline — the two-stage recognize→reason→segment evaluation loop.
+
+North-star API parity with the reference
+(`roll/pipeline/rlvr/rlvr_socioseg_vlm_pipeline_infer.py:511-919`,
+`examples/start_rlvr_socioseg_pipeline_infer.py`):
+
+  per batch: stage-1 generate (map+sat tile pair → bboxes) → SAM stage-1 masks
+  → render bboxes+mask onto both images → stage-2 generate (point prompts)
+  → SAM stage-2 masks → per-tile giou (both-empty → 1.0) → dump masks/renders/
+  responses under output/infer/result/{stage1,stage2,render1,render2} → mean
+  giou_acc → iou_acc.txt.
+
+TPU-shaped: one resident model serves both stages; image embeddings are computed
+once per stage per sample; the host render/re-tokenize restage overlaps with
+device decode via the continuous-batching engine.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+from PIL import Image
+
+from ...configs.rlvr_config import SocioSegConfig
+from ...datasets.collator import SocioSegCollator, collate_restage
+from ...datasets.processor import SocioProcessor
+from ...datasets.socioseg import format_stage2_prompt, render_visual_prompt
+from ...distributed.jax_strategies import (JaxDecodeStrategy, batch_image_embeds)
+from ...distributed.seg_strategy import SegStrategy
+from ...distributed.strategy import ParamStore
+from ...models.qwen2_5_vl.config import Qwen25VLConfig
+from ...models.sam2.config import Sam2Config
+from ...protocol import BatchProto
+from ...utils.metrics import MetricsManager
+from ..base_pipeline import BasePipeline
+from .parsing import parse_bboxes, strip_special_tokens
+from .rewards.socioseg import mask_iou
+
+
+class SocioSegInferPipeline(BasePipeline):
+    def __init__(self, pipeline_config: SocioSegConfig, *,
+                 model_config: Qwen25VLConfig, policy_params,
+                 sam_config: Sam2Config, sam_params,
+                 processor: SocioProcessor, dataset: List[Dict],
+                 engine_kwargs: Optional[Dict] = None):
+        super().__init__(pipeline_config)
+        self.model_config = model_config
+        self.processor = processor
+        self.dataset = dataset
+
+        self.param_store = ParamStore()
+        self.param_store.put("rollout", policy_params)
+        self.actor_infer = JaxDecodeStrategy(
+            worker_config=pipeline_config.actor_infer,
+            param_store=self.param_store)
+        self.actor_infer.initialize(model_config, engine_kwargs=engine_kwargs)
+        self.seg_infer = SegStrategy(worker_config=pipeline_config.seg_infer)
+        self.seg_infer.initialize(sam_config, sam_params)
+
+        self.collator = SocioSegCollator(processor, model_config,
+                                         prompt_length=pipeline_config.prompt_length)
+        self.result_dir = os.path.join(pipeline_config.output_dir, "infer", "result")
+
+    # ------------------------------------------------------------------- run
+    def run(self) -> float:
+        cfg = self.pipeline_config
+        for sub in ("stage1", "stage2", "render1", "render2"):
+            os.makedirs(os.path.join(self.result_dir, sub), exist_ok=True)
+        gious: List[float] = []
+        mm = self.metrics
+
+        bs = cfg.rollout_batch_size
+        for start in range(0, len(self.dataset), bs):
+            rows = self.dataset[start:start + bs]
+            with mm.timer("collate"):
+                batch = self.collator(rows)
+
+            # ---------------- stage 1: generate bboxes from map+sat
+            with mm.timer("vision_embeds_s1"):
+                embeds = batch_image_embeds(self.model_config,
+                                            self.param_store.get("rollout"),
+                                            batch, prefix="map_")
+            gen_batch = BatchProto.from_dict(tensors={
+                "input_ids": batch.batch["map_input_ids"],
+                "attention_mask": batch.batch["map_attention_mask"],
+                "position_ids": batch.batch["map_position_ids"],
+            }, meta={"image_embeds_list": embeds})
+            with mm.timer("generate_s1"):
+                seqs = self.actor_infer.generate(
+                    gen_batch, cfg.actor_infer.generating_args)
+            prompt_lens = np.asarray(batch.batch["map_attention_mask"]).sum(-1)
+            map_texts = self._decode_responses(seqs, batch.batch["map_input_ids"])
+
+            # ---------------- SAM stage 1 (bbox prompts from map responses)
+            with mm.timer("segment_s1"):
+                s1_masks = self._segment(batch, map_texts, stage=1)
+
+            # ---------------- restage: render + stage-2 prompts
+            with mm.timer("restage"):
+                s2_prompts, s2_images, bbox_texts = [], [], []
+                for i, row in enumerate(rows):
+                    bboxes = parse_bboxes(map_texts[i])
+                    bboxs_text = json.dumps([{"bbox_2d": b} for b in bboxes])
+                    bbox_texts.append(bboxs_text)
+                    rendered = render_visual_prompt(
+                        bboxs_text, [row["image_map"], row["image_sat"]], s1_masks[i])
+                    s2_prompts.append(format_stage2_prompt(row["question"], bboxs_text))
+                    s2_images.append(rendered)
+                s2_batch = collate_restage(self.processor, self.model_config,
+                                           s2_prompts, s2_images, cfg.prompt_length)
+
+            # ---------------- stage 2: generate point prompts
+            with mm.timer("vision_embeds_s2"):
+                embeds2 = batch_image_embeds(self.model_config,
+                                             self.param_store.get("rollout"),
+                                             s2_batch, prefix="")
+            gen2 = BatchProto.from_dict(tensors={
+                "input_ids": s2_batch.batch["input_ids"],
+                "attention_mask": s2_batch.batch["attention_mask"],
+                "position_ids": s2_batch.batch["position_ids"],
+            }, meta={"image_embeds_list": embeds2})
+            with mm.timer("generate_s2"):
+                seqs2 = self.actor_infer.generate(
+                    gen2, cfg.actor_infer.generating_args)
+            sat_texts = self._decode_responses(seqs2, s2_batch.batch["input_ids"])
+
+            # ---------------- SAM stage 2 (bbox+points)
+            with mm.timer("segment_s2"):
+                s2_masks = self._segment(batch, sat_texts, stage=2)
+
+            # ---------------- metrics + dumps (ref :870-913)
+            for i, row in enumerate(rows):
+                gt = np.asarray(row["gt_mask"].convert("L")
+                                if hasattr(row["gt_mask"], "convert")
+                                else row["gt_mask"])
+                gt = np.asarray(Image.fromarray(gt).resize((768, 768),
+                                                           Image.Resampling.NEAREST))
+                giou = mask_iou(s2_masks[i], gt > 0, empty_value=1.0)
+                gious.append(giou)
+                tile = str(row.get("id", start + i))
+                Image.fromarray(s1_masks[i] * 255).save(
+                    os.path.join(self.result_dir, "stage1", f"{tile}.png"))
+                Image.fromarray(s2_masks[i] * 255).save(
+                    os.path.join(self.result_dir, "stage2", f"{tile}.png"))
+                s2_images[i][0].save(os.path.join(self.result_dir, "render1", f"{tile}.png"))
+                s2_images[i][1].save(os.path.join(self.result_dir, "render2", f"{tile}.png"))
+                with open(os.path.join(self.result_dir, "stage1", f"{tile}.txt"), "w") as f:
+                    f.write(map_texts[i])
+                with open(os.path.join(self.result_dir, "stage2", f"{tile}.txt"), "w") as f:
+                    f.write(sat_texts[i])
+            self.log_metrics(mm.reduce(), start // bs)
+
+        giou_acc = float(np.mean(gious)) if gious else 0.0
+        with open(os.path.join(self.result_dir, "iou_acc.txt"), "w") as f:
+            f.write(f"{giou_acc}\n")
+        print(f"giou_acc: {giou_acc}")
+        return giou_acc
+
+    # ---------------------------------------------------------------- helpers
+    def _decode_responses(self, seqs: np.ndarray, prompt_ids: np.ndarray) -> List[str]:
+        """Full sequences → response text (strip prompt + pads)."""
+        pad = self.model_config.pad_token_id
+        texts = []
+        prompt_lens = (np.asarray(prompt_ids) != pad).sum(-1)
+        for i in range(len(seqs)):
+            seq = seqs[i]
+            valid = seq[seq != pad]
+            resp = valid[int(prompt_lens[i]):]
+            texts.append(strip_special_tokens(self.processor.decode(resp)))
+        return texts
+
+    def _segment(self, batch: BatchProto, texts: List[str], stage: int
+                 ) -> List[np.ndarray]:
+        from .parsing import parse_visual_prompts_s1, parse_visual_prompts_s2
+        parser = parse_visual_prompts_s1 if stage == 1 else parse_visual_prompts_s2
+        masks = []
+        for i in range(len(batch)):
+            prompts = parser(texts[i])
+            image = batch.non_tensor["seg_image"][i]
+            if not prompts:
+                masks.append(np.zeros((768, 768), np.uint8))
+                continue
+            img = image if isinstance(image, Image.Image) else Image.fromarray(np.asarray(image))
+            self.seg_infer.predictor.set_image(img.resize((756, 756)))
+            masks.append(self.seg_infer.predictor.predict_objects_mask(
+                prompts, (768, 768)))
+        return masks
