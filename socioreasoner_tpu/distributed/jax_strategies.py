@@ -209,13 +209,17 @@ class JaxDecodeStrategy(InferenceStrategy):
                     image_embeds=None if embeds is None else embeds[i],
                     position_ids=pos))
         outs = self.engine.generate(requests)
-        max_len = max(len(o.prompt_ids) + len(o.output_ids) for o in outs)
-        result = np.full((len(outs), max_len), pad_id, np.int64)
+        # Layout contract with postprocess_generate (functionals.py:768): rows are
+        # [left-padded prompt exactly as passed in | right-padded response].
+        P = np.asarray(batch.batch["input_ids"]).shape[1]
+        max_out = max(len(o.output_ids) for o in outs) if outs else 0
+        result = np.full((len(batch) * n, P + max_out), pad_id, np.int64)
         order = {(i, j): i * n + j for i in range(len(batch)) for j in range(n)}
         for o in outs:
             row = order[o.request_id]
-            seq = o.prompt_ids + o.output_ids
-            result[row, :len(seq)] = seq
+            i = row // n
+            result[row, :P] = np.asarray(batch.batch["input_ids"][i])
+            result[row, P:P + len(o.output_ids)] = o.output_ids
         return result
 
     # ------------------------------------------------------------ server mode

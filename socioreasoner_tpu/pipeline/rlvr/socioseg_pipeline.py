@@ -1,0 +1,299 @@
+"""SocioSegPipeline — GRPO training over the two-stage recognize→segment loop.
+
+Step parity with the reference main loop
+(`roll/pipeline/rlvr/rlvr_socioseg_vlm_pipeline.py:616-1163`, SURVEY.md §3.1):
+
+  1  (offload — no-op on TPU)           8  reference logprobs (map + sat)
+  2  model_update → rollout weights     9  rule rewards (format/length/acc/IoU)
+  3  stage-1 generate (n per prompt)   10  old logprobs (map + sat)
+  4  SAM stage-1 masks                 11  reward clip → GRPO group norm →
+  5  host restage (render + retok)         token rewards → advantage
+  6  stage-2 generate (n=1)            12  train_step(map), train_step(sat)
+  7  SAM stage-2 masks                 13  metrics / checkpoint / logging
+
+One resident model: train, reference (frozen initial params) and decode share
+the mesh; weight sync is a ParamStore pointer swap.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+from PIL import Image
+
+import jax.numpy as jnp
+
+from ...configs.rlvr_config import SocioSegConfig
+from ...datasets.collator import SocioSegCollator, collate_restage
+from ...datasets.processor import SocioProcessor
+from ...datasets.socioseg import format_stage2_prompt, render_visual_prompt
+from ...distributed.jax_strategies import (JaxDecodeStrategy, JaxInferStrategy,
+                                           JaxTrainStrategy, batch_image_embeds)
+from ...distributed.seg_strategy import SegStrategy
+from ...distributed.strategy import ParamStore
+from ...models.qwen2_5_vl.config import Qwen25VLConfig
+from ...models.sam2.config import Sam2Config
+from ...pipeline.losses import PPOLossConfig
+from ...protocol import BatchProto
+from ...utils import functionals as fn
+from ...utils.kl_controller import get_kl_controller
+from ..base_pipeline import BasePipeline
+from .parsing import parse_bboxes, strip_special_tokens
+from .rewards.socioseg import compute_socioseg_rewards
+
+
+class SocioSegPipeline(BasePipeline):
+    def __init__(self, pipeline_config: SocioSegConfig, *,
+                 model_config: Qwen25VLConfig, policy_params, reference_params,
+                 sam_config: Sam2Config, sam_params,
+                 processor: SocioProcessor, dataset: List[Dict],
+                 engine_kwargs: Optional[Dict] = None):
+        super().__init__(pipeline_config)
+        cfg = pipeline_config
+        self.model_config = model_config
+        self.processor = processor
+        self.dataset = dataset
+
+        self.param_store = ParamStore()
+        self.actor_train = JaxTrainStrategy(worker_config=cfg.actor_train,
+                                            param_store=self.param_store)
+        loss_cfg = PPOLossConfig(
+            pg_clip=cfg.pg_clip, dual_clip_loss=cfg.dual_clip_loss,
+            use_kl_loss=cfg.use_kl_loss, kl_loss_coef=cfg.kl_loss_coef,
+            entropy_loss_coef=cfg.entropy_loss_coef,
+            loss_agg_mode=cfg.loss_agg_mode)
+        self.actor_train.initialize(model_config, policy_params, loss_cfg,
+                                    cfg.actor_train.training_args,
+                                    checkpoint_dir=None)
+        self.reference = JaxInferStrategy(worker_config=cfg.reference,
+                                          param_store=self.param_store)
+        self.reference.initialize(model_config, reference_params)
+        self.actor_train.model_update()
+        self.actor_infer = JaxDecodeStrategy(worker_config=cfg.actor_infer,
+                                             param_store=self.param_store)
+        self.actor_infer.initialize(model_config, engine_kwargs=engine_kwargs)
+        self.seg_infer = SegStrategy(worker_config=cfg.seg_infer)
+        self.seg_infer.initialize(sam_config, sam_params)
+
+        self.collator = SocioSegCollator(processor, model_config,
+                                         prompt_length=cfg.prompt_length)
+        self.kl_ctrl = get_kl_controller(cfg.init_kl_coef, cfg.target_kl,
+                                         cfg.kl_horizon)
+        cfg.set_max_steps(len(dataset))
+
+    # -------------------------------------------------------------------- run
+    def run(self) -> Dict[str, float]:
+        cfg = self.pipeline_config
+        n = cfg.num_return_sequences
+        mm = self.metrics
+        last_metrics: Dict[str, float] = {}
+        step = self.state.step
+        bs = cfg.rollout_batch_size
+
+        while step < cfg.max_steps:
+            start = (step * bs) % max(len(self.dataset), 1)
+            rows = self.dataset[start:start + bs]
+            if not rows:
+                break
+            t_step = time.perf_counter()
+
+            # 2 ---- weight flow to the decode engine
+            with mm.timer("model_update"):
+                self.actor_train.model_update()
+                self.actor_infer.model_update()
+
+            batch = self.collator(rows)
+            rollout_params = self.param_store.get("rollout")
+
+            # 3 ---- stage-1 generate, n samples per prompt
+            with mm.timer("generate_s1"):
+                embeds = batch_image_embeds(self.model_config, rollout_params,
+                                            batch, prefix="map_")
+                gen_batch = BatchProto.from_dict(tensors={
+                    "input_ids": batch.batch["map_input_ids"],
+                    "attention_mask": batch.batch["map_attention_mask"],
+                    "position_ids": batch.batch["map_position_ids"],
+                }, meta={"image_embeds_list": embeds})
+                ga = cfg.actor_infer.generating_args
+                seqs1 = self.actor_infer.generate(gen_batch, ga)
+
+            map_post = fn.postprocess_generate(
+                input_ids=np.asarray(batch.batch["map_input_ids"]),
+                attention_mask=np.asarray(batch.batch["map_attention_mask"]),
+                position_ids=np.asarray(batch.batch["map_position_ids"]),
+                output=seqs1, num_return_sequences=n,
+                sequence_length=cfg.sequence_length,
+                eos_token_id=self.model_config.eos_token_id,
+                pad_token_id=self.model_config.pad_token_id)
+            map_texts = self._decode_responses(map_post)
+            expanded = batch.repeat(n)          # rows expanded to match samples
+
+            # 4 ---- SAM stage-1
+            with mm.timer("segment_s1"):
+                map_masks = self._segment(expanded, map_texts, stage=1)
+
+            # 5 ---- restage: render + stage-2 prompts
+            with mm.timer("restage"):
+                s2_prompts, s2_images, bbox_texts = [], [], []
+                for i in range(len(expanded)):
+                    bboxes = parse_bboxes(map_texts[i])
+                    btxt = json.dumps([{"bbox_2d": b} for b in bboxes])
+                    bbox_texts.append(btxt)
+                    rendered = render_visual_prompt(
+                        btxt, [expanded.non_tensor["image_map"][i],
+                               expanded.non_tensor["image_sat"][i]], map_masks[i])
+                    s2_prompts.append(format_stage2_prompt(
+                        str(expanded.non_tensor["question"][i]), btxt))
+                    s2_images.append(rendered)
+                s2_batch = collate_restage(self.processor, self.model_config,
+                                           s2_prompts, s2_images, cfg.prompt_length)
+
+            # 6 ---- stage-2 generate (single sample per expanded prompt)
+            with mm.timer("generate_s2"):
+                embeds2 = batch_image_embeds(self.model_config, rollout_params,
+                                             s2_batch, prefix="")
+                gen2 = BatchProto.from_dict(tensors={
+                    "input_ids": s2_batch.batch["input_ids"],
+                    "attention_mask": s2_batch.batch["attention_mask"],
+                    "position_ids": s2_batch.batch["position_ids"],
+                }, meta={"image_embeds_list": embeds2})
+                import copy as _copy
+                ga_one = _copy.copy(ga)
+                ga_one.num_return_sequences = 1
+                seqs2 = self.actor_infer.generate(gen2, ga_one)
+            sat_post = fn.postprocess_generate(
+                input_ids=np.asarray(s2_batch.batch["input_ids"]),
+                attention_mask=np.asarray(s2_batch.batch["attention_mask"]),
+                position_ids=np.asarray(s2_batch.batch["position_ids"]),
+                output=seqs2, num_return_sequences=1,
+                sequence_length=cfg.sequence_length,
+                eos_token_id=self.model_config.eos_token_id,
+                pad_token_id=self.model_config.pad_token_id)
+            sat_texts = self._decode_responses(sat_post)
+
+            # 7 ---- SAM stage-2
+            with mm.timer("segment_s2"):
+                sat_masks = self._segment(expanded, sat_texts, stage=2)
+
+            # build train batches (canonical keys + packed image embeds)
+            map_train = self._train_batch(map_post, embeds, repeat=n)
+            sat_train = self._train_batch(sat_post, embeds2, repeat=1)
+
+            # 8/10 ---- reference + old logprobs
+            with mm.timer("logprobs"):
+                map_ref = self.reference.compute_log_probs(map_train)["log_probs"]
+                sat_ref = self.reference.compute_log_probs(sat_train)["log_probs"]
+                map_old = self.actor_train.compute_log_probs(map_train)["log_probs"]
+                sat_old = self.actor_train.compute_log_probs(sat_train)["log_probs"]
+
+            # 9 ---- rewards
+            with mm.timer("rewards"):
+                gt_masks = [np.asarray(m.convert("L")) if hasattr(m, "convert")
+                            else np.asarray(m)
+                            for m in expanded.non_tensor["gt_mask"]]
+                rewards = compute_socioseg_rewards(
+                    map_responses=map_texts, sat_responses=sat_texts,
+                    map_masks=map_masks, sat_masks=sat_masks, gt_masks=gt_masks,
+                    gt_bbox_texts=[str(t) for t in expanded.non_tensor["gt_bbox"]],
+                    stage1_bbox_texts=bbox_texts)
+            mm.add_metrics({f"critic/{k}": v for k, v in rewards["metrics"].items()})
+            mm.add_metric("critic/seg_iou", float(rewards["seg_iou_rewards"].mean()))
+
+            # 11/12 ---- advantage + train per stage
+            metrics_all: Dict[str, float] = {}
+            for name, train_batch, rw, old_lp, ref_lp in (
+                    ("map", map_train, rewards["map_response_level_rewards"],
+                     map_old, map_ref),
+                    ("sat", sat_train, rewards["sat_response_level_rewards"],
+                     sat_old, sat_ref)):
+                m = self._train_stage(train_batch, rw, old_lp, ref_lp, n)
+                metrics_all.update({f"{name}/{k}": v for k, v in m.items()})
+
+            # 13 ---- metrics / checkpoint
+            step_time = time.perf_counter() - t_step
+            total_tokens = int(np.asarray(map_train.batch["attention_mask"]).sum()
+                               + np.asarray(sat_train.batch["attention_mask"]).sum())
+            mm.add_token_throughput("", total_tokens, step_time)
+            mm.add_time("step", step_time)
+            last_metrics = {**mm.reduce(), **metrics_all}
+            self.log_metrics(last_metrics, step)
+            self.do_checkpoint(step)
+            step += 1
+            self.state.step = step
+        return last_metrics
+
+    # ----------------------------------------------------------------- stages
+    def _train_stage(self, train_batch: BatchProto, response_rewards: np.ndarray,
+                     old_log_probs: np.ndarray, ref_log_probs: np.ndarray,
+                     n_sample: int) -> Dict[str, float]:
+        cfg = self.pipeline_config
+        rewards = jnp.asarray(response_rewards.astype(np.float32))
+        if cfg.adv_estimator == "grpo" and n_sample > 1:
+            rewards = fn.group_reward_norm(rewards, n_sample,
+                                           div_std=not cfg.reward_shift)
+        if cfg.reward_clip:
+            rewards = jnp.clip(rewards, -cfg.reward_clip, cfg.reward_clip)
+        token_rewards, current_kl = fn.apply_kl_penalty(
+            rewards, jnp.asarray(train_batch.batch["attention_mask"]),
+            jnp.asarray(train_batch.batch["position_ids"]),
+            jnp.asarray(train_batch.batch["response_mask"][:, 1:]),
+            jnp.asarray(old_log_probs), jnp.asarray(ref_log_probs),
+            self.kl_ctrl.value, cfg.kl_penalty)
+        self.kl_ctrl.update(float(current_kl), len(train_batch))
+        adv = fn.compute_advantage(
+            token_rewards, jnp.asarray(train_batch.batch["response_mask"][:, 1:]),
+            adv_estimator=cfg.adv_estimator, gamma=cfg.gamma, lambd=cfg.lambd,
+            advantage_clip=cfg.advantage_clip,
+            whiten_advantages=cfg.whiten_advantages,
+            whiten_rewards=cfg.whiten_rewards)
+        train_batch.batch["advantages"] = np.asarray(adv["advantages"])
+        train_batch.batch["old_log_probs"] = np.asarray(old_log_probs)
+        train_batch.batch["ref_log_probs"] = np.asarray(ref_log_probs)
+        metrics = self.actor_train.train_step(train_batch)
+        metrics["critic/kl"] = float(current_kl)
+        metrics["critic/reward_mean"] = float(np.mean(response_rewards))
+        return metrics
+
+    def _train_batch(self, post: Dict[str, np.ndarray],
+                     embeds_list: List[np.ndarray], repeat: int) -> BatchProto:
+        """Postprocessed sequences + packed image embeds → train-ready batch."""
+        batch = BatchProto.from_dict(tensors={
+            "input_ids": post["input_ids"],
+            "attention_mask": post["attention_mask"],
+            "position_ids": post["position_ids"],
+            "response_mask": post["response_mask"],
+        })
+        if embeds_list and embeds_list[0] is not None:
+            rep = [e for e in embeds_list for _ in range(repeat)]
+            batch.meta["image_embeds"] = np.concatenate(rep, axis=0)
+        return batch
+
+    def _decode_responses(self, post: Dict[str, np.ndarray]) -> List[str]:
+        texts = []
+        resp = post["responses"]
+        pad = self.model_config.pad_token_id
+        for row in resp:
+            valid = row[row != pad]
+            texts.append(strip_special_tokens(self.processor.decode(valid)))
+        return texts
+
+    def _segment(self, expanded: BatchProto, texts: List[str], stage: int
+                 ) -> List[np.ndarray]:
+        from .parsing import parse_visual_prompts_s1, parse_visual_prompts_s2
+        parser = parse_visual_prompts_s1 if stage == 1 else parse_visual_prompts_s2
+        masks = []
+        for i in range(len(expanded)):
+            prompts = parser(texts[i])
+            image = expanded.non_tensor["seg_image"][i]
+            if not prompts:
+                masks.append(np.zeros((768, 768), np.uint8))
+                continue
+            img = image if isinstance(image, Image.Image) \
+                else Image.fromarray(np.asarray(image))
+            self.seg_infer.predictor.set_image(img.resize((756, 756)))
+            masks.append(self.seg_infer.predictor.predict_objects_mask(
+                prompts, (768, 768)))
+        return masks

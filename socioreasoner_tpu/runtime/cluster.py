@@ -81,13 +81,13 @@ class Cluster:
 
     def _bind(self, method_name: str, mode: Dispatch, default_blocking: bool):
         def call(*args, blocking: bool = default_blocking, **kwargs):
-            per_worker = dispatch_args(mode, self.world_size, args, kwargs)
+            per_worker, ctx = dispatch_args(mode, self.world_size, args, kwargs)
             futures = [self._pool.submit(getattr(w, method_name), *a, **kw)
                        for w, (a, kw) in zip(self.workers, per_worker)]
             if not blocking:
-                return _LazyResults(futures, mode)
+                return _LazyResults(futures, mode, ctx)
             results = [f.result() for f in futures]
-            return collect_results(mode, results)
+            return collect_results(mode, results, ctx)
 
         call.__name__ = method_name
         setattr(self, method_name, call)
@@ -112,12 +112,13 @@ class Cluster:
 class _LazyResults:
     """Future-backed result handle (the reference's non-blocking ObjectRef list)."""
 
-    def __init__(self, futures: List[Future], mode: Dispatch):
+    def __init__(self, futures: List[Future], mode: Dispatch, ctx=None):
         self.futures = futures
         self.mode = mode
+        self.ctx = ctx
 
     def get(self):
-        return collect_results(self.mode, [f.result() for f in self.futures])
+        return collect_results(self.mode, [f.result() for f in self.futures], self.ctx)
 
     def done(self) -> bool:
         return all(f.done() for f in self.futures)

@@ -52,35 +52,42 @@ def register(dispatch_mode: Dispatch = Dispatch.ONE_TO_ALL, blocking: bool = Tru
 
 
 def dispatch_args(mode: Dispatch, n_workers: int, args: tuple, kwargs: dict
-                  ) -> List[tuple]:
-    """Split call args into per-worker (args, kwargs)."""
+                  ) -> tuple:
+    """Split call args into per-worker (args, kwargs). Returns (calls, ctx)
+    where ctx carries collect-side state (pad size for DP_MP_COMPUTE)."""
     if mode in (Dispatch.ONE_TO_ALL, Dispatch.ONE_TO_ALL_ONE):
-        return [(args, kwargs)] * n_workers
+        return [(args, kwargs)] * n_workers, None
     if mode == Dispatch.ALL_TO_ALL:
         split = []
         for i in range(n_workers):
             a = tuple(x[i] if isinstance(x, (list, tuple)) and len(x) == n_workers else x
                       for x in args)
             split.append((a, kwargs))
-        return split
+        return split, None
     if mode == Dispatch.DP_MP_COMPUTE:
         proto = _find_proto(args, kwargs)
         if proto is None:
-            return [(args, kwargs)] * n_workers
+            return [(args, kwargs)] * n_workers, None
         padded = proto.pad_to_divisor(n_workers)
+        pad = padded.meta.get("_pad_size", 0)
         chunks = padded.chunk(n_workers)
-        return [(_replace_proto(args, c), _replace_proto_kwargs(kwargs, c)) for c in chunks]
+        return ([(_replace_proto(args, c), _replace_proto_kwargs(kwargs, c))
+                 for c in chunks], {"pad": pad})
     if mode == Dispatch.DP_MP_DISPATCH_FIRST:
-        return [(args, kwargs)]  # only worker 0 runs
+        return [(args, kwargs)], None  # only worker 0 runs
     raise NotImplementedError(mode)
 
 
-def collect_results(mode: Dispatch, results: List[Any]) -> Any:
+def collect_results(mode: Dispatch, results: List[Any], ctx=None) -> Any:
     if mode == Dispatch.ONE_TO_ALL_ONE or mode == Dispatch.DP_MP_DISPATCH_FIRST:
         return results[0]
     if mode == Dispatch.DP_MP_COMPUTE:
         if all(isinstance(r, BatchProto) for r in results):
-            return BatchProto.concat(results).unpad()
+            out = BatchProto.concat(results)
+            pad = (ctx or {}).get("pad", 0)
+            if pad and len(out) > pad:
+                out = out.slice(0, len(out) - pad)
+            return out
         return results
     return results
 

@@ -6,8 +6,15 @@ import pytest
 import torch
 
 import jax
-jax.config.update("jax_enable_x64", True)
 import jax.numpy as jnp
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _enable_x64():
+    """f64 exactness for golden tests, without leaking into other modules."""
+    jax.config.update("jax_enable_x64", True)
+    yield
+    jax.config.update("jax_enable_x64", False)
 
 from socioreasoner_tpu.models.sam2.config import Sam2Config
 from socioreasoner_tpu.models.sam2 import model as smodel
