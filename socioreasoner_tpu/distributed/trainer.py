@@ -55,14 +55,15 @@ def make_optimizer(lr: float = 1e-6, weight_decay: float = 0.0, b1: float = 0.9,
 
 
 def _model_log_probs(config: Qwen25VLConfig, params, batch: Dict,
-                     remat: bool, with_entropy: bool = True):
+                     remat: bool, with_entropy: bool = True,
+                     use_flash: bool = False):
     """Forward → (logp of next-token labels, entropy), both (B, L-1)."""
     logits, _ = qmodel.forward(
         config, params, batch["input_ids"], batch["position_ids"],
         batch.get("attention_mask"),
         image_embeds=batch.get("image_embeds"),
         vision_inputs=batch.get("vision_inputs"),
-        remat=remat)
+        remat=remat, use_flash=use_flash)
     shift_logits = logits[:, :-1]
     labels = batch["input_ids"][:, 1:]
     lp = log_probs_from_logits(shift_logits, labels)
@@ -102,10 +103,13 @@ def make_train_step(config: Qwen25VLConfig, loss_cfg: PPOLossConfig,
 
 def make_logprob_step(config: Qwen25VLConfig, remat: bool = False
                       ) -> Callable[[Any, Dict], Dict]:
-    """Forward-only: {"log_probs": (B,L-1), "entropy": (B,L-1)} masked to response."""
+    """Forward-only: {"log_probs": (B,L-1), "entropy": (B,L-1)} masked to response.
+    Uses the Pallas flash kernel on TPU (forward has no autodiff requirement)."""
+    from ..ops.flags import use_flash_attention
+    flash = use_flash_attention()
 
     def logprob_step(params, batch: Dict) -> Dict:
-        lp, ent = _model_log_probs(config, params, batch, remat)
+        lp, ent = _model_log_probs(config, params, batch, remat, use_flash=flash)
         resp = batch["response_mask"][:, 1:].astype(lp.dtype)
         return {"log_probs": lp * resp, "entropy": ent * resp}
 

@@ -284,10 +284,12 @@ class DecodeEngine:
                             cfg.text.head_dim), v_cache.dtype),
             "kv_valid": attn,
         }
+        from ..ops.flags import use_flash_attention
         cache_positions = jnp.broadcast_to(jnp.arange(bucket)[None], (1, bucket))
         logits, new_cache = qmodel.forward(
             cfg, params, ids, pos, None, image_embeds=image_embeds,
-            cache=local, cache_positions=cache_positions)
+            cache=local, cache_positions=cache_positions,
+            use_flash=use_flash_attention())
         last_logits = jnp.take_along_axis(
             logits, (P - 1)[None, None, None].astype(jnp.int32), axis=1)[:, 0]  # (1, V)
         tok = sample_tokens(last_logits, key, temp[None], top_p[None], top_k[None])

@@ -56,6 +56,7 @@ def forward(
     cache_positions: Optional[jnp.ndarray] = None,
     remat: bool = False,
     logits: bool = True,
+    use_flash: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[Dict]]:
     """Returns (logits or hidden, new_cache)."""
     tcfg = config.text
@@ -79,7 +80,7 @@ def forward(
     hidden, new_cache = text_decoder(
         tcfg, params, embeds, cos, sin, attention_mask,
         q_positions=None, cache=cache, cache_positions=cache_positions,
-        remat=remat)
+        remat=remat, use_flash=use_flash)
     if not logits:
         return hidden, new_cache
     head = params.get("lm_head")

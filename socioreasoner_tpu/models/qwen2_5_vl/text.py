@@ -31,7 +31,8 @@ def attention_layer(cfg: TextConfig, p: Dict, x: jnp.ndarray,
                     q_positions: jnp.ndarray,
                     cache_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
                     cache_positions: Optional[jnp.ndarray] = None,
-                    kv_valid: Optional[jnp.ndarray] = None):
+                    kv_valid: Optional[jnp.ndarray] = None,
+                    use_flash: bool = False):
     """Self-attention with M-RoPE. x: (B, L, hidden).
 
     Without cache: causal over the input sequence.
@@ -47,29 +48,40 @@ def attention_layer(cfg: TextConfig, p: Dict, x: jnp.ndarray,
     q, k = apply_rotary(q, k, cos, sin)
 
     if cache_kv is None:
-        out = dense_attention(q, k, v, causal=True, attention_mask=attention_mask,
-                              q_positions=q_positions)
+        if use_flash:
+            from ...ops.flash_attention import flash_attention
+            out = flash_attention(q, k, v, attention_mask, causal=True)
+        else:
+            out = dense_attention(q, k, v, causal=True, attention_mask=attention_mask,
+                                  q_positions=q_positions)
         new_cache = (None, None)
     else:
         k_cache, v_cache = cache_kv
         bidx = jnp.arange(B)[:, None]
         k_cache = k_cache.at[bidx, cache_positions].set(k.astype(k_cache.dtype))
         v_cache = v_cache.at[bidx, cache_positions].set(v.astype(v_cache.dtype))
-        Lmax = k_cache.shape[1]
-        kv_pos = jnp.broadcast_to(jnp.arange(Lmax)[None, :], (B, Lmax))
-        out = dense_attention(q, k_cache.astype(q.dtype), v_cache.astype(q.dtype),
-                              causal=True, attention_mask=kv_valid,
-                              q_positions=cache_positions, kv_positions=kv_pos)
+        if use_flash and L > 1:
+            # prefill into a fresh cache: attention over the local sequence only
+            from ...ops.flash_attention import flash_attention
+            out = flash_attention(q, k, v, kv_valid[:, :L], causal=True)
+        else:
+            Lmax = k_cache.shape[1]
+            kv_pos = jnp.broadcast_to(jnp.arange(Lmax)[None, :], (B, Lmax))
+            out = dense_attention(q, k_cache.astype(q.dtype), v_cache.astype(q.dtype),
+                                  causal=True, attention_mask=kv_valid,
+                                  q_positions=cache_positions, kv_positions=kv_pos)
         new_cache = (k_cache, v_cache)
     return out.reshape(B, L, H * D) @ p["o_w"], new_cache
 
 
 def decoder_layer(cfg: TextConfig, p: Dict, x, cos, sin, attention_mask, q_positions,
-                  cache_kv=None, cache_positions=None, kv_valid=None):
+                  cache_kv=None, cache_positions=None, kv_valid=None,
+                  use_flash=False):
     h, new_cache = attention_layer(
         cfg, {k: p[k] for k in ("q_w", "q_b", "k_w", "k_b", "v_w", "v_b", "o_w")},
         rms_norm(x, p["input_ln"], cfg.rms_norm_eps),
-        cos, sin, attention_mask, q_positions, cache_kv, cache_positions, kv_valid)
+        cos, sin, attention_mask, q_positions, cache_kv, cache_positions, kv_valid,
+        use_flash=use_flash)
     x = x + h
     h2 = rms_norm(x, p["post_ln"], cfg.rms_norm_eps)
     x = x + swiglu(h2, p["gate_w"], p["up_w"], p["down_w"])
@@ -87,15 +99,18 @@ def text_decoder(
     cache: Optional[Dict] = None,      # {"k","v": (layers,B,Lmax,Hkv,D), "kv_valid": (B,Lmax)}
     cache_positions: Optional[jnp.ndarray] = None,
     remat: bool = False,
+    use_flash: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[Dict]]:
     """Returns (B, L, hidden) final hidden states (post final norm) + updated cache."""
     B, L, _ = inputs_embeds.shape
     if q_positions is None:
         q_positions = jnp.broadcast_to(jnp.arange(L)[None, :], (B, L))
 
-    layer_fn = decoder_layer
+    import functools as _ft
+    # use_flash bound by closure (static) — jax.checkpoint would trace kwargs
+    layer_fn = _ft.partial(decoder_layer, use_flash=use_flash)
     if remat:
-        layer_fn = jax.checkpoint(decoder_layer, static_argnums=(0,))
+        layer_fn = jax.checkpoint(layer_fn, static_argnums=(0,))
 
     if cache is None:
         def body(h, p):

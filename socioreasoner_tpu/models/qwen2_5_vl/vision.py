@@ -31,7 +31,8 @@ from . import rope as rope_mod
 
 
 def vision_block(cfg: VisionConfig, p: Dict, x: jnp.ndarray, cos: jnp.ndarray,
-                 sin: jnp.ndarray, seg: jnp.ndarray) -> jnp.ndarray:
+                 sin: jnp.ndarray, seg: jnp.ndarray,
+                 use_flash: bool = False) -> jnp.ndarray:
     """One ViT block. x: (S, hidden); seg: (S,) attention segment ids."""
     S = x.shape[0]
     H, D = cfg.num_heads, cfg.head_dim
@@ -44,8 +45,12 @@ def vision_block(cfg: VisionConfig, p: Dict, x: jnp.ndarray, cos: jnp.ndarray,
     c, s = cos[:, None, :], sin[:, None, :]
     q = (q32 * c + rope_mod.rotate_half(q32) * s).astype(x.dtype)
     k = (k32 * c + rope_mod.rotate_half(k32) * s).astype(x.dtype)
-    attn = dense_attention(q[None], k[None], v[None],
-                           segment_ids_q=seg[None], segment_ids_kv=seg[None])[0]
+    if use_flash:
+        from ...ops.flash_attention import flash_attention_segmented
+        attn = flash_attention_segmented(q, k, v, seg)
+    else:
+        attn = dense_attention(q[None], k[None], v[None],
+                               segment_ids_q=seg[None], segment_ids_kv=seg[None])[0]
     x = x + (attn.reshape(S, H * D) @ p["proj_w"] + p["proj_b"])
     h2 = rms_norm(x, p["norm2"], cfg.rms_norm_eps)
     x = x + swiglu(h2, p["gate_w"], p["up_w"], p["down_w"],
@@ -62,6 +67,7 @@ def vision_tower(
     window_seg: jnp.ndarray,   # (S,) window segment ids
     full_seg: jnp.ndarray,     # (S,) per-image segment ids
     is_full_layer: jnp.ndarray,  # (depth,) bool — use full_seg in this layer
+    use_flash: bool = False,
 ) -> jnp.ndarray:
     """Returns (S // spatial_merge_unit, out_hidden) merged embeddings, still in
     window order (caller applies the inverse permutation)."""
@@ -70,7 +76,7 @@ def vision_tower(
     def body(h, layer):
         p, is_full = layer
         seg = jnp.where(is_full, full_seg, window_seg)
-        return vision_block(cfg, p, h, cos, sin, seg), None
+        return vision_block(cfg, p, h, cos, sin, seg, use_flash=use_flash), None
 
     x, _ = jax.lax.scan(body, x, (params["blocks"], is_full_layer))
 
@@ -110,10 +116,12 @@ def run_vision(cfg: VisionConfig, params: Dict, pixel_patches: np.ndarray,
     """Convenience host→device wrapper returning merged embeddings in model order."""
     if dtype is None:
         dtype = params["patch_embed_w"].dtype
+    from ...ops.flags import use_flash_attention
     prep = vision_host_inputs(cfg, pixel_patches, grid_thw)
     out = vision_tower(
         cfg, params,
         jnp.asarray(prep["patches"], dtype), jnp.asarray(prep["cos"]),
         jnp.asarray(prep["sin"]), jnp.asarray(prep["window_seg"]),
-        jnp.asarray(prep["full_seg"]), jnp.asarray(prep["is_full_layer"]))
+        jnp.asarray(prep["full_seg"]), jnp.asarray(prep["is_full_layer"]),
+        use_flash=use_flash_attention())
     return out[jnp.asarray(prep["inv_perm"])]

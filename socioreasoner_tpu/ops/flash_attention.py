@@ -1,0 +1,229 @@
+"""Pallas TPU flash attention.
+
+Replaces the reference's flash-attn / TE fused attention dependency (SURVEY.md
+§2.10 items 1-2). Two kernels cover the SocioSeg compute paths:
+
+  flash_attention          — causal or full, per-row valid-KV-length masking
+                             via scalar prefetch (LM prefill / training forward;
+                             requires contiguous-prefix masks = right-padded
+                             batches, which is the framework's layout contract)
+  flash_attention_segmented — segment-id equality mask, non-causal
+                             (ViT window attention: window-contiguous segments
+                             → block-diagonal; blocks fully outside a segment
+                             boundary are still computed but masked — the
+                             permuted layout keeps segments contiguous so the
+                             wasted fraction is small)
+
+Design: online-softmax over KV blocks (fori_loop), f32 accumulators in VMEM
+scratch, q blocks on the grid, K/V rows of the (batch, head) resident in VMEM.
+Causal variant early-exits KV blocks beyond the diagonal via a masked loop
+bound. Falls back to the XLA dense path automatically off-TPU (interpret mode
+in tests).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _attn_kernel(kvlen_ref, q_ref, k_ref, v_ref, o_ref, *,
+                 scale: float, causal: bool, block_k: int, seq_k: int):
+    """One (batch*head, q-block) program. q_ref: (bq, D); k/v: (Lk, D);
+    kvlen_ref: (BH,) int32 scalar-prefetch — valid KV length per row
+    (masks are contiguous-prefix: right-padded batches)."""
+    bq, D = q_ref.shape
+    bh = pl.program_id(0)
+    iq = pl.program_id(1)
+    q = q_ref[:].astype(jnp.float32) * scale
+    kv_len = kvlen_ref[bh]
+
+    nk = seq_k // block_k
+    hi = pl.cdiv(kv_len, block_k)
+    if causal:
+        # only blocks intersecting the causal triangle
+        hi = jnp.minimum(hi, pl.cdiv((iq + 1) * bq, block_k))
+
+    row_ids = iq * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 0)
+
+    def body(j, carry):
+        m_prev, l_prev, acc_prev = carry
+        k = k_ref[pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)  # (bq, bk)
+        col_ids = j * block_k + jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1)
+        mask = col_ids < kv_len
+        if causal:
+            mask = mask & (col_ids <= row_ids)
+        s = jnp.where(mask, s, NEG_INF)
+
+        m_new = jnp.maximum(m_prev, s.max(axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        corr = jnp.exp(m_prev - m_new)
+        l_new = l_prev * corr + p.sum(axis=-1, keepdims=True)
+        acc_new = acc_prev * corr + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        return m_new, l_new, acc_new
+
+    m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((bq, 1), jnp.float32)
+    acc0 = jnp.zeros((bq, D), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, hi, body, (m0, l0, acc0))
+    # fully-masked rows (l==0) produce 0 output
+    out = acc / jnp.where(l == 0, 1.0, l)
+    o_ref[:] = out.astype(o_ref.dtype)
+
+
+def _seg_kernel(q_ref, k_ref, v_ref, segq_ref, segk_ref, o_ref, *,
+                scale: float, block_k: int, seq_k: int):
+    """Segment-id equality attention (ViT windows). seg refs are full (1, S)."""
+    bq, D = q_ref.shape
+    iq = pl.program_id(1)
+    q = q_ref[:].astype(jnp.float32) * scale
+    seg_q = segq_ref[0, pl.ds(iq * bq, bq)]                  # (bq,)
+    nk = seq_k // block_k
+
+    def body(j, carry):
+        m_prev, l_prev, acc_prev = carry
+        k = k_ref[pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        seg_k = segk_ref[0, pl.ds(j * block_k, block_k)]
+        mask = seg_q[:, None] == seg_k[None, :]
+        s = jnp.where(mask, s, NEG_INF)
+        m_new = jnp.maximum(m_prev, s.max(axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        corr = jnp.exp(m_prev - m_new)
+        l_new = l_prev * corr + p.sum(axis=-1, keepdims=True)
+        acc_new = acc_prev * corr + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        return m_new, l_new, acc_new
+
+    m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((bq, 1), jnp.float32)
+    acc0 = jnp.zeros((bq, D), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, nk, body, (m0, l0, acc0))
+    o_ref[:] = (acc / jnp.where(l == 0, 1.0, l)).astype(o_ref.dtype)
+
+
+def _pad_to(x, axis, multiple, value=0.0):
+    size = x.shape[axis]
+    pad = (-size) % multiple
+    if pad == 0:
+        return x, size
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths, constant_values=value), size
+
+
+@functools.partial(jax.jit, static_argnames=("causal", "block_q", "block_k",
+                                             "interpret"))
+def flash_attention(
+    q: jnp.ndarray,                      # (B, Lq, H, D)
+    k: jnp.ndarray,                      # (B, Lk, Hkv, D)
+    v: jnp.ndarray,
+    attention_mask: Optional[jnp.ndarray] = None,   # (B, Lk) 1=valid
+    *,
+    causal: bool = True,
+    block_q: int = 128,
+    block_k: int = 128,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Flash attention; GQA KV heads broadcast. Returns (B, Lq, H, D)."""
+    B, Lq, H, D = q.shape
+    Hkv = k.shape[2]
+    scale = D ** -0.5
+    if Hkv != H:
+        rep = H // Hkv
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+
+    # (B*H, L, D) layout
+    qh = q.transpose(0, 2, 1, 3).reshape(B * H, Lq, D)
+    kh = k.transpose(0, 2, 1, 3).reshape(B * H, -1, D)
+    vh = v.transpose(0, 2, 1, 3).reshape(B * H, -1, D)
+    qh, Lq0 = _pad_to(qh, 1, block_q)
+    kh, Lk0 = _pad_to(kh, 1, block_k)
+    vh, _ = _pad_to(vh, 1, block_k)
+    Lqp, Lkp = qh.shape[1], kh.shape[1]
+
+    if attention_mask is None:
+        kv_lens = jnp.full((B,), Lk0, jnp.int32)
+    else:
+        kv_lens = attention_mask.astype(jnp.int32).sum(axis=-1)
+    kv_lens = jnp.repeat(kv_lens, H)                    # (B*H,)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B * H, Lqp // block_q),
+        in_specs=[
+            pl.BlockSpec((None, block_q, D), lambda b, i, *_: (b, i, 0)),
+            pl.BlockSpec((None, Lkp, D), lambda b, i, *_: (b, 0, 0)),
+            pl.BlockSpec((None, Lkp, D), lambda b, i, *_: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((None, block_q, D), lambda b, i, *_: (b, i, 0)),
+    )
+    kernel = functools.partial(_attn_kernel, scale=scale, causal=causal,
+                               block_k=block_k, seq_k=Lkp)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B * H, Lqp, D), q.dtype),
+        interpret=interpret,
+    )(kv_lens, qh, kh, vh)
+    out = out[:, :Lq0].reshape(B, H, Lq0, D).transpose(0, 2, 1, 3)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
+def flash_attention_segmented(
+    q: jnp.ndarray,                      # (S, H, D) — packed ViT sequence
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    segment_ids: jnp.ndarray,            # (S,) int32
+    *,
+    block_q: int = 128,
+    block_k: int = 128,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    S, H, D = q.shape
+    scale = D ** -0.5
+    qh = q.transpose(1, 0, 2)            # (H, S, D)
+    kh = k.transpose(1, 0, 2)
+    vh = v.transpose(1, 0, 2)
+    qh, S0 = _pad_to(qh, 1, block_q)
+    kh, _ = _pad_to(kh, 1, block_k)
+    vh, _ = _pad_to(vh, 1, block_k)
+    Sp = qh.shape[1]
+    # pad segments with a sentinel no one matches
+    seg = segment_ids.astype(jnp.int32)
+    seg_q = jnp.pad(seg, (0, Sp - S0), constant_values=-1)[None]          # (1, Sp)
+    seg_k = jnp.pad(seg, (0, kh.shape[1] - S0), constant_values=-2)[None]
+
+    grid = (H, Sp // block_q)
+    kernel = functools.partial(_seg_kernel, scale=scale, block_k=block_k,
+                               seq_k=kh.shape[1])
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((None, block_q, D), lambda h, i: (h, i, 0)),
+            pl.BlockSpec((None, kh.shape[1], D), lambda h, i: (h, 0, 0)),
+            pl.BlockSpec((None, kh.shape[1], D), lambda h, i: (h, 0, 0)),
+            pl.BlockSpec((1, Sp), lambda h, i: (0, 0)),
+            pl.BlockSpec((1, kh.shape[1]), lambda h, i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((None, block_q, D), lambda h, i: (h, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((H, Sp, D), q.dtype),
+        interpret=interpret,
+    )(qh, kh, vh, seg_q, seg_k)
+    return out[:, :S0].transpose(1, 0, 2)
