@@ -44,7 +44,8 @@ def main():
     def fwd_loop(params, ids_stack, pos, attn):
         def body(i, c):
             ids_i = jax.lax.dynamic_index_in_dim(ids_stack, i, keepdims=False)
-            hidden, _ = qmodel.forward(config, params, ids_i, pos, attn, logits=False)
+            hidden, _ = qmodel.forward(config, params, ids_i, pos, attn,
+                                       logits=False, use_flash=True)
             return c + hidden.astype(jnp.float32).mean()
         return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
 
