@@ -62,25 +62,20 @@ def format_stage2_prompt(prompt: str, bboxs_text: str, n_images: int = 2) -> str
 # ------------------------------------------------------------- GT extraction
 
 def count_components(mask_image: Image.Image) -> int:
-    """8-connected component count of the binary GT mask (ref :138)."""
-    import cv2
+    """8-connected component count of the binary GT mask (ref :138; native
+    union-find in csrc/socio_host.cpp, cv2 fallback)."""
+    from ..utils.native import connected_components_count
     arr = np.asarray(mask_image.convert("L"))
-    _, binary = cv2.threshold(arr, 0, 255, cv2.THRESH_BINARY)
-    num_labels, *_ = cv2.connectedComponentsWithStats(binary, connectivity=8)
-    return num_labels - 1
+    return connected_components_count(arr)
 
 
 def extract_gt_bboxes(mask_image: Image.Image, min_area: float = 10) -> str:
-    """External contours → bbox JSON string (ref get_bboxes :148)."""
-    import cv2
+    """Component bounding boxes → bbox JSON string (ref get_bboxes :148 uses
+    external contours + contourArea; native path uses connected components +
+    pixel area — equivalent for the filled masks SocioSeg ships)."""
+    from ..utils.native import component_boxes
     arr = np.asarray(mask_image.convert("L"))
-    _, binary = cv2.threshold(arr, 0, 255, cv2.THRESH_BINARY)
-    contours, _ = cv2.findContours(binary, cv2.RETR_EXTERNAL, cv2.CHAIN_APPROX_SIMPLE)
-    boxes = []
-    for c in contours:
-        if cv2.contourArea(c) > min_area:
-            x, y, w, h = cv2.boundingRect(c)
-            boxes.append({"bbox_2d": [x, y, x + w, y + h]})
+    boxes = [{"bbox_2d": b} for b in component_boxes(arr, min_area=int(min_area))]
     return json.dumps(boxes)
 
 

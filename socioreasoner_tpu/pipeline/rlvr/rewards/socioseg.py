@@ -17,7 +17,8 @@ import re
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np
-from scipy.optimize import linear_sum_assignment
+from ....utils.native import hungarian as linear_sum_assignment
+from ....utils.native import mask_iou_native
 
 from ..parsing import ANSWER_RE, THINK_ANSWER_RE, strip_special_tokens
 
@@ -51,11 +52,7 @@ def mask_iou(mask: np.ndarray, gt_mask: np.ndarray, empty_value: float = 0.0) ->
         return 0.0
     if mask.shape != gt_mask.shape:
         return 0.0
-    m, g = mask.astype(bool), gt_mask.astype(bool)
-    union = np.logical_or(m, g).sum()
-    if union == 0:
-        return empty_value
-    return float(np.logical_and(m, g).sum() / union)
+    return mask_iou_native(mask, gt_mask, empty_value=empty_value)
 
 
 # ------------------------------------------------------------ answer parsing
