@@ -116,6 +116,45 @@ def make_logprob_step(config: Qwen25VLConfig, remat: bool = False
     return logprob_step
 
 
+def make_value_step(config: Qwen25VLConfig, optimizer: optax.GradientTransformation,
+                    value_clip: float = 0.2, loss_agg_mode: str = "seq-mean-token-sum",
+                    remat: bool = True):
+    """Critic train step (ref CriticWorker base_worker.py:384-534): value head on
+    the backbone's hidden states, clipped value loss vs returns."""
+    from ..pipeline.losses import value_loss as value_loss_fn
+
+    def value_forward(params, batch):
+        hidden, _ = qmodel.forward(
+            config, params, batch["input_ids"], batch["position_ids"],
+            batch.get("attention_mask"), image_embeds=batch.get("image_embeds"),
+            remat=remat, logits=False)
+        values = (hidden @ params["value_head_w"] + params["value_head_b"])[..., 0]
+        return values[:, 1:]   # align with response_mask[:, 1:]
+
+    def value_step(state: TrainState, batch: Dict) -> Tuple[TrainState, Dict]:
+        def loss_fn(params):
+            values = value_forward(params, batch)
+            return value_loss_fn(values, batch["old_values"], batch["returns"],
+                                 batch["response_mask"][:, 1:], value_clip,
+                                 loss_agg_mode)
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics["critic_train/grad_norm"] = optax.global_norm(grads)
+        return state.replace(params=new_params, opt_state=new_opt,
+                             step=state.step + 1), metrics
+
+    return value_step, value_forward
+
+
+def add_value_head(params, key, hidden_size: int, dtype=jnp.float32):
+    """Attach a scalar value head to a backbone params pytree."""
+    params = dict(params)
+    params["value_head_w"] = (jax.random.normal(key, (hidden_size, 1)) * 0.02).astype(dtype)
+    params["value_head_b"] = jnp.zeros((1,), dtype)
+    return params
+
+
 def make_sft_step(config: Qwen25VLConfig, optimizer: optax.GradientTransformation,
                   remat: bool = True):
     """Supervised next-token CE step (the mcore_adapter McaTrainer role,
