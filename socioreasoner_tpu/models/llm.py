@@ -1,0 +1,76 @@
+"""Text-only LLM families over the shared decoder: Llama, Qwen2, Qwen2.5, Qwen3.
+
+The reference's model bridge registers templates for llama/qwen2/qwen2_moe/
+qwen3/qwen3_moe/mistral/mixtral (mcore_adapter/models/converter/template.py:414-845).
+Here the same families map onto the Qwen2.5-VL text decoder (text.py) — a
+standard pre-norm transformer — via per-family config knobs:
+
+  llama/mistral — no attention bias, 1-D RoPE
+  qwen2/qwen2.5 — qkv bias, 1-D RoPE
+  qwen3        — no bias, per-head q/k RMS norm (handled in text.py when
+                 `use_qk_norm`), 1-D RoPE
+
+1-D RoPE == M-RoPE with equal t/h/w ids, so position_ids are (B, 3, L) built
+from plain arange; no separate attention path is needed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Dict, Iterator, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from .qwen2_5_vl.config import Qwen25VLConfig, TextConfig, VisionConfig
+from .qwen2_5_vl.loader import load_params as _load_qwen_params
+
+
+def config_from_hf_dict(cfg: dict) -> Qwen25VLConfig:
+    """Map an HF text-model config.json (llama/qwen2/qwen3/mistral) onto our
+    config. mrope_section is derived as head_dim//2 on the t axis (1-D RoPE)."""
+    model_type = cfg.get("model_type", "llama")
+    hidden = cfg["hidden_size"]
+    heads = cfg["num_attention_heads"]
+    head_dim = cfg.get("head_dim") or hidden // heads
+    text = TextConfig(
+        vocab_size=cfg["vocab_size"],
+        hidden_size=hidden,
+        intermediate_size=cfg["intermediate_size"],
+        num_hidden_layers=cfg["num_hidden_layers"],
+        num_attention_heads=heads,
+        num_key_value_heads=cfg.get("num_key_value_heads", heads),
+        head_dim=head_dim,
+        max_position_embeddings=cfg.get("max_position_embeddings", 32768),
+        rms_norm_eps=cfg.get("rms_norm_eps", 1e-6),
+        rope_theta=cfg.get("rope_theta", 10000.0),
+        mrope_section=(head_dim // 2, 0, 0),       # 1-D RoPE: all channels on t
+        tie_word_embeddings=cfg.get("tie_word_embeddings", False),
+        attention_bias=model_type in ("qwen2", "qwen2_5", "qwen2_vl"),
+        use_qk_norm=model_type in ("qwen3", "qwen3_moe"),
+    )
+    return Qwen25VLConfig(text=text, vision=VisionConfig(),
+                          bos_token_id=cfg.get("bos_token_id", 1),
+                          eos_token_id=cfg.get("eos_token_id", 2),
+                          pad_token_id=cfg.get("pad_token_id") or cfg.get("eos_token_id", 2))
+
+
+def text_position_ids(input_ids: np.ndarray, attention_mask: np.ndarray
+                      ) -> np.ndarray:
+    """(B, L) → (B, 3, L) 1-D positions replicated on the three rope axes."""
+    p = np.cumsum(attention_mask, axis=-1) - 1
+    p = np.where(attention_mask == 0, 1, p)
+    return np.broadcast_to(p[:, None, :], (p.shape[0], 3, p.shape[1])).copy()
+
+
+def load_text_model(path: str, dtype=jnp.bfloat16) -> Tuple[Qwen25VLConfig, Dict]:
+    """Load any supported HF text checkpoint into (config, params)."""
+    from .qwen2_5_vl.loader import iter_safetensors
+    with open(os.path.join(path, "config.json")) as f:
+        config = config_from_hf_dict(json.load(f))
+    params = _load_qwen_params(config, iter_safetensors(path), dtype,
+                               with_vision=False)
+    # llama-family checkpoints have no bias tensors; zeros from init are correct
+    return config, params

@@ -57,6 +57,7 @@ class TextConfig:
     mrope_section: Tuple[int, int, int] = (16, 24, 24)
     tie_word_embeddings: bool = True
     attention_bias: bool = True           # qkv bias, o_proj no bias
+    use_qk_norm: bool = False             # per-head q/k RMS norm (qwen3)
 
 
 @dataclass(frozen=True)

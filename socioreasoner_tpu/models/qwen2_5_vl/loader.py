@@ -65,6 +65,8 @@ def load_params(config: Qwen25VLConfig, tensors: Iterator[Tuple[str, np.ndarray]
         "self_attn.k_proj.weight": ("k_w", True), "self_attn.k_proj.bias": ("k_b", False),
         "self_attn.v_proj.weight": ("v_w", True), "self_attn.v_proj.bias": ("v_b", False),
         "self_attn.o_proj.weight": ("o_w", True),
+        "self_attn.q_norm.weight": ("q_norm", False),
+        "self_attn.k_norm.weight": ("k_norm", False),
         "mlp.gate_proj.weight": ("gate_w", True),
         "mlp.up_proj.weight": ("up_w", True),
         "mlp.down_proj.weight": ("down_w", True),
@@ -119,6 +121,12 @@ def load_params(config: Qwen25VLConfig, tensors: Iterator[Tuple[str, np.ndarray]
                     key, tr = vis_layer_map[brest]
                     put_layer(vis, i, key, arr, tr)
 
+    # llama-family checkpoints ship no qkv biases — fill zeros
+    H, Hkv, D = t.num_attention_heads, t.num_key_value_heads, t.head_dim
+    bias_shapes = {"q_b": H * D, "k_b": Hkv * D, "v_b": Hkv * D}
+    for key, width in bias_shapes.items():
+        if key not in txt:
+            txt[key] = [np.zeros(width, np.float32)] * L
     for key, lst in txt.items():
         assert all(x is not None for x in lst), f"missing text layer tensors for {key}"
         params["layers"][key] = jnp.asarray(np.stack(lst), dtype)

@@ -45,6 +45,9 @@ def attention_layer(cfg: TextConfig, p: Dict, x: jnp.ndarray,
     q = (x @ p["q_w"] + p["q_b"]).reshape(B, L, H, D)
     k = (x @ p["k_w"] + p["k_b"]).reshape(B, L, Hkv, D)
     v = (x @ p["v_w"] + p["v_b"]).reshape(B, L, Hkv, D)
+    if cfg.use_qk_norm:    # qwen3: per-head RMS norm before rotary
+        q = rms_norm(q, p["q_norm"], cfg.rms_norm_eps)
+        k = rms_norm(k, p["k_norm"], cfg.rms_norm_eps)
     q, k = apply_rotary(q, k, cos, sin)
 
     if cache_kv is None:
@@ -77,8 +80,11 @@ def attention_layer(cfg: TextConfig, p: Dict, x: jnp.ndarray,
 def decoder_layer(cfg: TextConfig, p: Dict, x, cos, sin, attention_mask, q_positions,
                   cache_kv=None, cache_positions=None, kv_valid=None,
                   use_flash=False):
+    attn_keys = ["q_w", "q_b", "k_w", "k_b", "v_w", "v_b", "o_w"]
+    if cfg.use_qk_norm:
+        attn_keys += ["q_norm", "k_norm"]
     h, new_cache = attention_layer(
-        cfg, {k: p[k] for k in ("q_w", "q_b", "k_w", "k_b", "v_w", "v_b", "o_w")},
+        cfg, {k: p[k] for k in attn_keys},
         rms_norm(x, p["input_ln"], cfg.rms_norm_eps),
         cos, sin, attention_mask, q_positions, cache_kv, cache_positions, kv_valid,
         use_flash=use_flash)
