@@ -310,9 +310,11 @@ class DecodeEngine:
             pos = jnp.broadcast_to(next_pos[:, None, None], (S, 3, 1)).astype(jnp.int64)
             kv_valid = (jnp.arange(self.Lalloc)[None, :] < (lengths + 1)[:, None]).astype(jnp.int32)
             cache = {"k": k_cache, "v": v_cache, "kv_valid": kv_valid}
+            from ..ops.flags import use_flash_attention
             logits, new_cache = qmodel.forward(
                 cfg, params, last_token[:, None], pos, None,
-                cache=cache, cache_positions=lengths[:, None])
+                cache=cache, cache_positions=lengths[:, None],
+                use_flash=use_flash_attention())
             key, sub = jax.random.split(key)
             tok = sample_tokens(logits[:, 0], sub, temps, top_ps, top_ks)
             tok = jnp.where(active, tok, cfg.pad_token_id).astype(jnp.int32)

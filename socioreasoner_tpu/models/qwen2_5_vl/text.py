@@ -67,6 +67,12 @@ def attention_layer(cfg: TextConfig, p: Dict, x: jnp.ndarray,
             # prefill into a fresh cache: attention over the local sequence only
             from ...ops.flash_attention import flash_attention
             out = flash_attention(q, k, v, kv_valid[:, :L], causal=True)
+        elif use_flash and L == 1:
+            # decode: paged kernel reads only each slot's valid cache prefix
+            from ...ops.decode_attention import paged_decode_attention
+            lengths = jnp.sum(kv_valid, axis=-1).astype(jnp.int32)
+            out = paged_decode_attention(q[:, 0], k_cache, v_cache,
+                                         lengths)[:, None]
         else:
             Lmax = k_cache.shape[1]
             kv_pos = jnp.broadcast_to(jnp.arange(Lmax)[None, :], (B, Lmax))
