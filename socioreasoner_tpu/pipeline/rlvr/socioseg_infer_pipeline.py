@@ -64,6 +64,59 @@ class SocioSegInferPipeline(BasePipeline):
                                          prompt_length=pipeline_config.prompt_length)
         self.result_dir = os.path.join(pipeline_config.output_dir, "infer", "result")
 
+    # ---------------------------------------------------------------- eval API
+    def evaluate_batch(self, rows) -> list:
+        """Two-stage decode+segment over `rows`, returning per-tile giou
+        (validation entry — ref val_multi :1165; no artifact dumps)."""
+        from .evaluation import compute_giou
+        out = self._two_stage(rows)
+        gious = []
+        for i, row in enumerate(rows):
+            gt = np.asarray(row["gt_mask"].convert("L")
+                            if hasattr(row["gt_mask"], "convert") else row["gt_mask"])
+            gt = np.asarray(Image.fromarray(gt).resize((768, 768),
+                                                       Image.Resampling.NEAREST))
+            gious.append(compute_giou(out["s2_masks"][i], gt))
+        return gious
+
+    def _two_stage(self, rows):
+        """Stage-1 generate → SAM → render restage → stage-2 generate → SAM."""
+        cfg = self.pipeline_config
+        batch = self.collator(rows)
+        rollout = self.param_store.get("rollout")
+        embeds = batch_image_embeds(self.model_config, rollout, batch, prefix="map_")
+        gen_batch = BatchProto.from_dict(tensors={
+            "input_ids": batch.batch["map_input_ids"],
+            "attention_mask": batch.batch["map_attention_mask"],
+            "position_ids": batch.batch["map_position_ids"],
+        }, meta={"image_embeds_list": embeds})
+        seqs = self.actor_infer.generate(gen_batch, cfg.actor_infer.generating_args)
+        map_texts = self._decode_responses(seqs, batch.batch["map_input_ids"])
+        s1_masks = self._segment(batch, map_texts, stage=1)
+        s2_prompts, s2_images, bbox_texts = [], [], []
+        for i, row in enumerate(rows):
+            bboxes = parse_bboxes(map_texts[i])
+            btxt = json.dumps([{"bbox_2d": b} for b in bboxes])
+            bbox_texts.append(btxt)
+            rendered = render_visual_prompt(
+                btxt, [row["image_map"], row["image_sat"]], s1_masks[i])
+            s2_prompts.append(format_stage2_prompt(row["question"], btxt))
+            s2_images.append(rendered)
+        s2_batch = collate_restage(self.processor, self.model_config,
+                                   s2_prompts, s2_images, cfg.prompt_length)
+        embeds2 = batch_image_embeds(self.model_config, rollout, s2_batch, prefix="")
+        gen2 = BatchProto.from_dict(tensors={
+            "input_ids": s2_batch.batch["input_ids"],
+            "attention_mask": s2_batch.batch["attention_mask"],
+            "position_ids": s2_batch.batch["position_ids"],
+        }, meta={"image_embeds_list": embeds2})
+        seqs2 = self.actor_infer.generate(gen2, cfg.actor_infer.generating_args)
+        sat_texts = self._decode_responses(seqs2, s2_batch.batch["input_ids"])
+        s2_masks = self._segment(batch, sat_texts, stage=2)
+        return {"map_texts": map_texts, "sat_texts": sat_texts,
+                "s1_masks": s1_masks, "s2_masks": s2_masks,
+                "s2_images": s2_images, "bbox_texts": bbox_texts}
+
     # ------------------------------------------------------------------- run
     def run(self) -> float:
         cfg = self.pipeline_config

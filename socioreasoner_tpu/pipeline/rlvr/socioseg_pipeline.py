@@ -50,6 +50,7 @@ class SocioSegPipeline(BasePipeline):
                  model_config: Qwen25VLConfig, policy_params, reference_params,
                  sam_config: Sam2Config, sam_params,
                  processor: SocioProcessor, dataset: List[Dict],
+                 val_dataset: Optional[List[Dict]] = None,
                  engine_kwargs: Optional[Dict] = None):
         super().__init__(pipeline_config)
         cfg = pipeline_config
@@ -82,6 +83,7 @@ class SocioSegPipeline(BasePipeline):
                                          prompt_length=cfg.prompt_length)
         self.kl_ctrl = get_kl_controller(cfg.init_kl_coef, cfg.target_kl,
                                          cfg.kl_horizon)
+        self.val_dataset = val_dataset or []
         cfg.set_max_steps(len(dataset))
 
     # -------------------------------------------------------------------- run
@@ -218,12 +220,91 @@ class SocioSegPipeline(BasePipeline):
                                + np.asarray(sat_train.batch["attention_mask"]).sum())
             mm.add_token_throughput("", total_tokens, step_time)
             mm.add_time("step", step_time)
+            # validation every eval_steps (ref val_multi :1165 → val_iou/mean)
+            if (self.val_dataset and cfg.eval_steps > 0
+                    and (step + 1) % cfg.eval_steps == 0):
+                with mm.timer("validation"):
+                    metrics_all.update(self._validate())
             last_metrics = {**mm.reduce(), **metrics_all}
             self.log_metrics(last_metrics, step)
             self.do_checkpoint(step)
             step += 1
             self.state.step = step
         return last_metrics
+
+    # ------------------------------------------------------------- validation
+    def _validate(self, max_tiles: Optional[int] = None) -> Dict[str, float]:
+        """Greedy two-stage eval over the validation split; returns val_iou/*
+        overall and per tag (the zero-shot city grouping, BASELINE.md config 4)."""
+        import copy as _copy
+        from .evaluation import compute_giou, grouped_giou
+        cfg = self.pipeline_config
+        rows_all = self.val_dataset[:max_tiles] if max_tiles else self.val_dataset
+        ga = _copy.copy(cfg.actor_infer.generating_args)
+        ga.num_return_sequences = 1
+        ga.do_sample = False
+        ga.temperature = 0.0
+        gious, tags = [], []
+        bs = cfg.rollout_batch_size
+        for start in range(0, len(rows_all), bs):
+            rows = rows_all[start:start + bs]
+            batch = self.collator(rows)
+            rollout = self.param_store.get("rollout")
+            embeds = batch_image_embeds(self.model_config, rollout, batch,
+                                        prefix="map_")
+            gen_batch = BatchProto.from_dict(tensors={
+                "input_ids": batch.batch["map_input_ids"],
+                "attention_mask": batch.batch["map_attention_mask"],
+                "position_ids": batch.batch["map_position_ids"],
+            }, meta={"image_embeds_list": embeds})
+            seqs = self.actor_infer.generate(gen_batch, ga)
+            post = fn.postprocess_generate(
+                input_ids=np.asarray(batch.batch["map_input_ids"]),
+                attention_mask=np.asarray(batch.batch["map_attention_mask"]),
+                position_ids=np.asarray(batch.batch["map_position_ids"]),
+                output=seqs, num_return_sequences=1,
+                sequence_length=cfg.sequence_length,
+                eos_token_id=self.model_config.eos_token_id,
+                pad_token_id=self.model_config.pad_token_id)
+            map_texts = self._decode_responses(post)
+            s1_masks = self._segment(batch, map_texts, stage=1)
+            s2_prompts, s2_images = [], []
+            for i, row in enumerate(rows):
+                bboxes = parse_bboxes(map_texts[i])
+                btxt = json.dumps([{"bbox_2d": b} for b in bboxes])
+                rendered = render_visual_prompt(
+                    btxt, [row["image_map"], row["image_sat"]], s1_masks[i])
+                s2_prompts.append(format_stage2_prompt(row["question"], btxt))
+                s2_images.append(rendered)
+            s2_batch = collate_restage(self.processor, self.model_config,
+                                       s2_prompts, s2_images, cfg.prompt_length)
+            embeds2 = batch_image_embeds(self.model_config, rollout, s2_batch,
+                                         prefix="")
+            gen2 = BatchProto.from_dict(tensors={
+                "input_ids": s2_batch.batch["input_ids"],
+                "attention_mask": s2_batch.batch["attention_mask"],
+                "position_ids": s2_batch.batch["position_ids"],
+            }, meta={"image_embeds_list": embeds2})
+            seqs2 = self.actor_infer.generate(gen2, ga)
+            post2 = fn.postprocess_generate(
+                input_ids=np.asarray(s2_batch.batch["input_ids"]),
+                attention_mask=np.asarray(s2_batch.batch["attention_mask"]),
+                position_ids=np.asarray(s2_batch.batch["position_ids"]),
+                output=seqs2, num_return_sequences=1,
+                sequence_length=cfg.sequence_length,
+                eos_token_id=self.model_config.eos_token_id,
+                pad_token_id=self.model_config.pad_token_id)
+            sat_texts = self._decode_responses(post2)
+            s2_masks = self._segment(batch, sat_texts, stage=2)
+            for i, row in enumerate(rows):
+                gt = np.asarray(row["gt_mask"].convert("L")
+                                if hasattr(row["gt_mask"], "convert")
+                                else row["gt_mask"])
+                gt = np.asarray(Image.fromarray(gt).resize(
+                    (768, 768), Image.Resampling.NEAREST))
+                gious.append(compute_giou(s2_masks[i], gt))
+                tags.append(str(row.get("tag", "")))
+        return grouped_giou(gious, tags)
 
     # ----------------------------------------------------------------- stages
     def _train_stage(self, train_batch: BatchProto, response_rewards: np.ndarray,

@@ -116,3 +116,14 @@ def test_segment_with_crafted_response(pipeline):
     resp_bad = "no answer tags at all"
     masks2 = pipeline._segment(batch, [resp_bad], stage=2)
     assert masks2[0].sum() == 0
+
+
+def test_evaluate_batch_and_grouping(pipeline):
+    from socioreasoner_tpu.pipeline.rlvr.evaluation import grouped_giou
+    rows = pipeline.dataset
+    gious = pipeline.evaluate_batch(rows)
+    assert len(gious) == len(rows)
+    assert all(0.0 <= g <= 1.0 for g in gious)
+    out = grouped_giou(gious, ["cityA", "cityB"])
+    assert "val_iou/mean" in out and "val_iou/cityA" in out
+    assert out["val_iou/cityA/count"] == 1.0
