@@ -81,10 +81,13 @@ def make_train_step(config: Qwen25VLConfig, loss_cfg: PPOLossConfig,
     optional image_embeds / vision_inputs, optional sample weights.
     """
 
+    from ..ops.flags import use_flash_attention
+    flash = use_flash_attention()
+
     def train_step(state: TrainState, batch: Dict) -> Tuple[TrainState, Dict]:
         def loss_fn(params):
             lp, ent = _model_log_probs(config, params, batch, remat,
-                                       with_entropy=True)
+                                       with_entropy=True, use_flash=flash)
             resp = batch["response_mask"][:, 1:]
             return ppo_policy_loss(
                 lp, ent, batch["old_log_probs"], batch.get("ref_log_probs"),

@@ -52,8 +52,11 @@ def attention_layer(cfg: TextConfig, p: Dict, x: jnp.ndarray,
 
     if cache_kv is None:
         if use_flash:
-            from ...ops.flash_attention import flash_attention
-            out = flash_attention(q, k, v, attention_mask, causal=True)
+            # differentiable flash kernel (custom VJP) — serves train + infer
+            from ...ops.flash_attention_bwd import flash_attention_trainable
+            lens = None if attention_mask is None else \
+                attention_mask.sum(axis=-1).astype(jnp.float32)
+            out = flash_attention_trainable(q, k, v, lens, True)
         else:
             out = dense_attention(q, k, v, causal=True, attention_mask=attention_mask,
                                   q_positions=q_positions)
