@@ -37,6 +37,27 @@ from .strategy import InferenceStrategy, ParamStore, TrainStrategy
 from .trainer import TrainState, make_logprob_step, make_optimizer, make_train_step
 
 
+def _micro_batched_log_probs(logprob_step, params, batch: BatchProto,
+                             worker_config) -> Dict[str, np.ndarray]:
+    """Micro-batched forward (ref forward_step micro-batching,
+    megatron_strategy.py:127-157 — bounded activation memory at full scale)."""
+    n = len(batch)
+    mb = getattr(worker_config, "infer_batch_size", 0) or n
+    img = batch.meta.get("image_embeds")
+    per_sample_img = None if img is None else img.shape[0] // max(n, 1)
+    outs: Dict[str, list] = {}
+    for start in range(0, n, mb):
+        chunk = batch.slice(start, start + mb)
+        device_batch = {k: jnp.asarray(v) for k, v in chunk.batch.items()}
+        if img is not None:
+            device_batch["image_embeds"] = jnp.asarray(
+                img[start * per_sample_img:(start + len(chunk)) * per_sample_img])
+        out = logprob_step(params, device_batch)
+        for k, v in out.items():
+            outs.setdefault(k, []).append(np.asarray(v))
+    return {k: np.concatenate(v, axis=0) for k, v in outs.items()}
+
+
 def compute_image_embeds(config: Qwen25VLConfig, params, pixel_values: np.ndarray,
                          grid_thw: np.ndarray) -> np.ndarray:
     """One sample's packed images → (S_merged, hidden) embeddings."""
@@ -103,11 +124,8 @@ class JaxTrainStrategy(TrainStrategy):
         return self.compute_log_probs(batch)
 
     def compute_log_probs(self, batch: BatchProto) -> Dict[str, np.ndarray]:
-        device_batch = {k: jnp.asarray(v) for k, v in batch.batch.items()}
-        if "image_embeds" in batch.meta:
-            device_batch["image_embeds"] = jnp.asarray(batch.meta["image_embeds"])
-        out = self._logprob_step(self.state.params, device_batch)
-        return {k: np.asarray(v) for k, v in out.items()}
+        return _micro_batched_log_probs(self._logprob_step, self.state.params,
+                                        batch, self.worker_config)
 
     def model_update(self, *args, **kwargs):
         """Expose current weights to the rollout engine (ref model_update plane)."""
@@ -149,11 +167,8 @@ class JaxInferStrategy(InferenceStrategy):
         return self._params
 
     def compute_log_probs(self, batch: BatchProto) -> Dict[str, np.ndarray]:
-        device_batch = {k: jnp.asarray(v) for k, v in batch.batch.items()}
-        if "image_embeds" in batch.meta:
-            device_batch["image_embeds"] = jnp.asarray(batch.meta["image_embeds"])
-        out = self._logprob_step(self._params, device_batch)
-        return {k: np.asarray(v) for k, v in out.items()}
+        return _micro_batched_log_probs(self._logprob_step, self._params,
+                                        batch, self.worker_config)
 
     def forward_step(self, batch: BatchProto, forward_func: Callable = None):
         return self.compute_log_probs(batch)
