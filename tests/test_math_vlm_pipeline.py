@@ -1,0 +1,65 @@
+"""Single-stage VLM RLVR pipeline + dataset file loader."""
+
+import json
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+import jax.numpy as jnp
+
+
+def test_dataset_loader(tmp_path):
+    from socioreasoner_tpu.datasets.loader import load_dataset_any, load_rows
+    p = tmp_path / "d.jsonl"
+    p.write_text('{"q": 1}\n{"q": 2}\n')
+    rows = load_rows(str(p))
+    assert rows == [{"q": 1}, {"q": 2}]
+    (tmp_path / "e.json").write_text(json.dumps([{"q": 3}]))
+    all_rows = load_dataset_any(dataset_dir=str(tmp_path))
+    assert len(all_rows) == 3
+    with pytest.raises(ValueError, match="unsupported"):
+        load_rows("x.xyz")
+    with pytest.raises(FileNotFoundError):
+        load_dataset_any(file_name=str(tmp_path / "nope.json"))
+
+
+def test_math_vlm_pipeline_one_step(tmp_path):
+    from socioreasoner_tpu.configs.rlvr_config import RLVRConfig
+    from socioreasoner_tpu.datasets.processor import (ImageProcessorConfig,
+                                                      SocioProcessor)
+    from socioreasoner_tpu.models.qwen2_5_vl.config import Qwen25VLConfig
+    from socioreasoner_tpu.models.qwen2_5_vl import model as qmodel
+    from socioreasoner_tpu.pipeline.rlvr.math_vlm_pipeline import MathVLMPipeline
+    from tests.test_infer_pipeline_e2e import TinyTokenizer
+
+    model_config = Qwen25VLConfig.tiny(512)
+    params = qmodel.init_params(model_config, jax.random.key(0), jnp.float32)
+    ref = qmodel.init_params(model_config, jax.random.key(0), jnp.float32)
+    img_cfg = ImageProcessorConfig(min_pixels=56 * 56, max_pixels=56 * 56 * 4)
+    processor = SocioProcessor(TinyTokenizer(), img_cfg,
+                               image_token_id=model_config.image_token_id)
+    rng = np.random.default_rng(0)
+    dataset = [{"question": "How many buildings? Count.",
+                "images": [Image.fromarray(rng.integers(0, 255, (64, 64, 3),
+                                                        dtype=np.uint8))],
+                "ground_truth": "3"} for _ in range(2)]
+    cfg = RLVRConfig(output_dir=str(tmp_path), rollout_batch_size=2,
+                     prompt_length=320, response_length=8, max_steps=1,
+                     num_return_sequences_in_group=2, save_steps=-1,
+                     entropy_loss_coef=0.01, reward_clip=10.0)
+    cfg.actor_infer.generating_args.max_new_tokens = 6
+    cfg.actor_infer.generating_args.num_return_sequences = 2
+    pipe = MathVLMPipeline(cfg, model_config=model_config, policy_params=params,
+                           reference_params=ref, processor=processor,
+                           dataset=dataset,
+                           engine_kwargs={"max_slots": 4, "max_len": 340,
+                                          "decode_chunk": 4,
+                                          "prefill_buckets": (320,),
+                                          "image_buckets": (0, 16),
+                                          "cache_dtype": jnp.float32})
+    metrics = pipe.run()
+    assert np.isfinite(metrics["actor_train/total_loss"])
+    assert "critic/math/accuracy" in metrics or any(
+        "math/accuracy" in k for k in metrics)
