@@ -70,8 +70,9 @@ def attention_layer(cfg: TextConfig, p: Dict, x: jnp.ndarray,
             # prefill into a fresh cache: attention over the local sequence only
             from ...ops.flash_attention import flash_attention
             out = flash_attention(q, k, v, kv_valid[:, :L], causal=True)
-        elif use_flash and L == 1:
+        elif use_flash and L == 1 and cfg.head_dim % 128 == 0:
             # decode: paged kernel reads only each slot's valid cache prefix
+            # (Mosaic HBM slicing needs the last dim 128-aligned)
             from ...ops.decode_attention import paged_decode_attention
             lengths = jnp.sum(kv_valid, axis=-1).astype(jnp.int32)
             out = paged_decode_attention(q[:, 0], k_cache, v_cache,

@@ -13,6 +13,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Dict, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from ..utils.functionals import agg_loss, compute_approx_kl, masked_mean
@@ -26,6 +27,8 @@ class PPOLossConfig:
     kl_loss_coef: float = 5e-3
     entropy_loss_coef: float = 0.0
     loss_agg_mode: str = "seq-mean-token-sum"
+    loss_type: str = "ppo"            # ppo | topr (ref rlvr/actor_worker.py:9-166)
+    topr_clip_min: float = 0.0        # TopR: clip(ratio, min, 1) * advantage
 
 
 def ppo_policy_loss(
@@ -42,10 +45,19 @@ def ppo_policy_loss(
     ratio = jnp.exp(log_probs - old_log_probs)
     surr1 = ratio * advantages
     surr2 = jnp.clip(ratio, 1 - cfg.pg_clip, 1 + cfg.pg_clip) * advantages
-    pg_loss_mat = -jnp.minimum(surr1, surr2)
-    if cfg.dual_clip_loss:
-        dual = -jnp.maximum(-pg_loss_mat, (1 + cfg.pg_clip * 2) * advantages)
-        pg_loss_mat = jnp.where(advantages < 0, dual, pg_loss_mat)
+    if cfg.loss_type == "topr":
+        # TopR (ref actor_worker topr variant): asymmetric truncation — positive
+        # advantages use a plain REINFORCE term (stop-grad ratio weight clipped
+        # to [min,1]); negatives keep the importance-weighted term.
+        w = jnp.clip(jax.lax.stop_gradient(ratio), cfg.topr_clip_min, 1.0)
+        pg_loss_mat = -jnp.where(advantages >= 0,
+                                 w * log_probs * advantages,
+                                 ratio * advantages)
+    else:
+        pg_loss_mat = -jnp.minimum(surr1, surr2)
+        if cfg.dual_clip_loss:
+            dual = -jnp.maximum(-pg_loss_mat, (1 + cfg.pg_clip * 2) * advantages)
+            pg_loss_mat = jnp.where(advantages < 0, dual, pg_loss_mat)
     pg_loss = agg_loss(pg_loss_mat, response_mask, cfg.loss_agg_mode, weights)
 
     if ref_log_probs is not None:

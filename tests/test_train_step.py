@@ -127,3 +127,22 @@ def test_value_loss():
 def test_graft_entry_dryrun():
     from __graft_entry__ import dryrun_multichip
     dryrun_multichip(8)
+
+
+def test_topr_loss_variant():
+    rng = np.random.default_rng(7)
+    B, T = 3, 6
+    lp = -np.abs(rng.normal(size=(B, T))).astype(np.float32)
+    old = lp + rng.normal(size=(B, T)).astype(np.float32) * 0.3
+    adv = rng.normal(size=(B, T)).astype(np.float32)
+    mask = np.ones((B, T), np.float32)
+    ent = np.zeros((B, T), np.float32)
+    cfg = PPOLossConfig(loss_type="topr", use_kl_loss=False)
+    loss, metrics = ppo_policy_loss(jnp.array(lp), jnp.array(ent), jnp.array(old),
+                                    None, jnp.array(adv), jnp.array(mask), cfg)
+    assert np.isfinite(float(loss))
+    # differs from standard PPO on the same inputs
+    loss_ppo, _ = ppo_policy_loss(jnp.array(lp), jnp.array(ent), jnp.array(old),
+                                  None, jnp.array(adv), jnp.array(mask),
+                                  PPOLossConfig(use_kl_loss=False))
+    assert abs(float(loss) - float(loss_ppo)) > 1e-6
