@@ -30,17 +30,29 @@ class SegStrategy(InferenceStrategy):
 
     def segment(self, batch: BatchProto) -> List[Dict[str, np.ndarray]]:
         """batch columns: seg_image (PIL), visual_prompt (list of per-object
-        dicts with box/points/labels). Returns [{"mask": (768,768) uint8}]."""
-        results = []
-        for i in range(len(batch)):
-            image = batch.non_tensor["seg_image"][i]
+        dicts with box/points/labels). Returns [{"mask": (768,768) uint8}].
+
+        Batched: the image encoder runs once over every tile with prompts and
+        the mask decoder once over all tiles×objects (the reference loops
+        set_image/predict per sample+object, seg_strategy.py:47-63)."""
+        n = len(batch)
+        results: List[Dict[str, np.ndarray]] = [None] * n
+        to_run, images, prompt_lists = [], [], []
+        for i in range(n):
             prompts = batch.non_tensor["visual_prompt"][i]
             if prompts is None or len(prompts) == 0:
-                results.append({"mask": np.zeros(SEG_OUTPUT_SIZE, np.uint8)})
+                results[i] = {"mask": np.zeros(SEG_OUTPUT_SIZE, np.uint8)}
                 continue
+            image = batch.non_tensor["seg_image"][i]
             img = image.resize(SEG_INPUT_SIZE) if isinstance(image, Image.Image) \
                 else Image.fromarray(np.asarray(image)).resize(SEG_INPUT_SIZE)
-            self.predictor.set_image(img)
-            mask = self.predictor.predict_objects_mask(list(prompts), SEG_OUTPUT_SIZE)
-            results.append({"mask": mask})
+            to_run.append(i)
+            images.append(img)
+            prompt_lists.append(list(prompts))
+        if to_run:
+            self.predictor.set_images(images)
+            masks = self.predictor.predict_objects_mask_batch(
+                prompt_lists, SEG_OUTPUT_SIZE)
+            for i, m in zip(to_run, masks):
+                results[i] = {"mask": m}
         return results

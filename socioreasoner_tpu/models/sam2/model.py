@@ -127,6 +127,70 @@ class Sam2Predictor:
         up = jax.image.resize(logits, (logits.shape[0], oh, ow), method="linear")
         return np.asarray(up > 0), np.asarray(iou[0, 0]), np.asarray(logits)
 
+    # ----------------------------------------------- batched multi-tile decode
+    def set_images(self, images: List) -> None:
+        """Encode a BATCH of images in one device call (the seg worker's
+        per-batch path; the reference encodes per sample, seg_strategy.py:47)."""
+        arrs = [np.asarray(im) for im in images]
+        self._orig_size = arrs[0].shape[:2]
+        if self.pos_embed is None:
+            S = self.config.image_size
+            grid = (S // self.config.hiera.patch_stride[0],) * 2
+            self.pos_embed = jnp.asarray(hiera_pos_embed(
+                self.params["encoder"]["hiera"], self.config.hiera, *grid))
+        pixels = np.concatenate([preprocess_image(a, self.config.image_size)
+                                 for a in arrs], axis=0)
+        dtype = self.params["conv_s0_w"].dtype
+        self._embeddings = self._encode(self.params, jnp.asarray(pixels, dtype),
+                                        self.pos_embed)
+
+    def predict_objects_mask_batch(self, prompts_list: List[List[Dict]],
+                                   out_size: Tuple[int, int],
+                                   max_objects: int = 16) -> List[np.ndarray]:
+        """All tiles × all objects in one decoder call. prompts_list[b] holds
+        tile b's object prompts (box and/or points); empty lists allowed."""
+        B = len(prompts_list)
+        K = max([min(len(p), max_objects) for p in prompts_list] + [1])
+        S = self.config.image_size
+        oh, ow = self._orig_size
+        sx, sy = S / ow, S / oh
+        max_pts = max([len(o.get("points", [])) for ps in prompts_list
+                       for o in ps] + [1])
+        boxes = np.zeros((B, K, 4), np.float32)
+        pts = np.zeros((B, K, max_pts, 2), np.float32)
+        lbl = np.full((B, K, max_pts), -10, np.int32)
+        valid = np.zeros((B, K), bool)
+        has_boxes = has_points = False
+        for b, prompts in enumerate(prompts_list):
+            for i, p in enumerate(prompts[:max_objects]):
+                valid[b, i] = True
+                if p.get("box") is not None:
+                    has_boxes = True
+                    bb = np.asarray(p["box"], np.float32)
+                    boxes[b, i] = [bb[0] * sx, bb[1] * sy, bb[2] * sx, bb[3] * sy]
+                if p.get("points"):
+                    has_points = True
+                    n = len(p["points"])
+                    arr = np.asarray(p["points"], np.float32)
+                    pts[b, i, :n, 0] = arr[:, 0] * sx
+                    pts[b, i, :n, 1] = arr[:, 1] * sy
+                    lbl[b, i, :n] = p.get("labels", [1] * n)
+        masks, iou = predict_masks(
+            self.config, self.params, self._embeddings, self.image_pe,
+            jnp.asarray(pts) if has_points else None,
+            jnp.asarray(lbl) if has_points else None,
+            jnp.asarray(boxes) if has_boxes else None,
+            multimask_output=True)
+        best = jnp.argmax(iou, axis=-1)
+        best_masks = jnp.take_along_axis(
+            masks, best[:, :, None, None, None], axis=2)[:, :, 0]  # (B, K, h, w)
+        vm = jnp.asarray(valid)[:, :, None, None]
+        union = jnp.any((best_masks > 0) & vm, axis=1)              # (B, h, w)
+        up = jax.image.resize(union.astype(jnp.float32), (B, *out_size),
+                              method="nearest")
+        out = np.asarray(up > 0.5).astype(np.uint8)
+        return [out[b] for b in range(B)]
+
     # ------------------------------------------------- SocioSeg batched decode
     def predict_objects_mask(self, prompts: List[Dict], out_size: Tuple[int, int],
                              max_objects: int = 16) -> np.ndarray:
