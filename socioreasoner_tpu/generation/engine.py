@@ -73,7 +73,8 @@ class DecodeEngine:
                  max_len: int = 8192, decode_chunk: int = 16,
                  prefill_buckets: Tuple[int, ...] = (128, 256, 512, 1024, 2048, 4096),
                  image_buckets: Tuple[int, ...] = (0, 512, 1024, 2048),
-                 cache_dtype=jnp.bfloat16, seed: int = 0):
+                 cache_dtype=jnp.bfloat16, kv_quant: Optional[str] = None,
+                 seed: int = 0):
         self.config = config
         self.params = params
         self.S = max_slots
@@ -87,8 +88,23 @@ class DecodeEngine:
         # decode_chunk slack: a chunk may overshoot max_len before the host
         # notices; keep scatters in bounds
         self.Lalloc = max_len + decode_chunk
-        self.k_cache = jnp.zeros((L, self.S, self.Lalloc, Hkv, D), cache_dtype)
-        self.v_cache = jnp.zeros((L, self.S, self.Lalloc, Hkv, D), cache_dtype)
+        if kv_quant not in (None, "int8"):
+            raise ValueError(f"kv_quant must be None or 'int8', got {kv_quant!r}")
+        self.kv_quant = kv_quant
+        if kv_quant == "int8":
+            # int8 KV + per-token-per-head scales: halves decode HBM traffic
+            # and doubles cache capacity (the vLLM quantized-KV counterpart)
+            self.caches = {
+                "k": jnp.zeros((L, self.S, self.Lalloc, Hkv, D), jnp.int8),
+                "v": jnp.zeros((L, self.S, self.Lalloc, Hkv, D), jnp.int8),
+                "k_scale": jnp.zeros((L, self.S, Hkv, self.Lalloc), jnp.float32),
+                "v_scale": jnp.zeros((L, self.S, Hkv, self.Lalloc), jnp.float32),
+            }
+        else:
+            self.caches = {
+                "k": jnp.zeros((L, self.S, self.Lalloc, Hkv, D), cache_dtype),
+                "v": jnp.zeros((L, self.S, self.Lalloc, Hkv, D), cache_dtype),
+            }
         self.lengths = np.zeros(self.S, np.int32)         # host copy
         self.next_pos = np.zeros(self.S, np.int32)        # next M-RoPE position value
         self.last_token = np.zeros(self.S, np.int32)
@@ -99,7 +115,7 @@ class DecodeEngine:
         self._rng = jax.random.key(seed)
         self._jit_prefill = {}
         self._jit_decode = jax.jit(self._decode_loop, static_argnames=("n_steps",),
-                                   donate_argnums=(1, 2))
+                                   donate_argnums=(1,))
         self._embed_dtype = jax.tree.leaves(params)[0].dtype
 
     # ------------------------------------------------------------------ public
@@ -194,8 +210,8 @@ class DecodeEngine:
         self._rng, key = jax.random.split(self._rng)
         s = req.sampling
         temp = 0.0 if not s.do_sample else s.temperature
-        self.k_cache, self.v_cache, first_tok = fn(
-            self.params, self.k_cache, self.v_cache, jnp.asarray(ids),
+        self.caches, first_tok = fn(
+            self.params, self.caches, jnp.asarray(ids),
             jnp.asarray(pos), jnp.asarray(attn), jnp.int32(slot), jnp.int32(P),
             img, key, jnp.float32(temp), jnp.float32(s.top_p), jnp.int32(s.top_k))
         tok = int(first_tok[0])
@@ -238,8 +254,8 @@ class DecodeEngine:
             top_ks[slot] = s.top_k
         self._rng, key = jax.random.split(self._rng)
         n = self.decode_chunk
-        self.k_cache, self.v_cache, toks, new_len, new_pos = self._jit_decode(
-            self.params, self.k_cache, self.v_cache,
+        self.caches, toks, new_len, new_pos = self._jit_decode(
+            self.params, self.caches,
             jnp.asarray(self.last_token), jnp.asarray(self.lengths),
             jnp.asarray(self.next_pos), jnp.asarray(active),
             jnp.asarray(temps), jnp.asarray(top_ps), jnp.asarray(top_ks),
@@ -270,20 +286,22 @@ class DecodeEngine:
             self._jit_prefill[key] = jax.jit(self._prefill, donate_argnums=(1, 2))
         return self._jit_prefill[key]
 
-    def _prefill(self, params, k_cache, v_cache, ids, pos, attn, slot, P,
+    def _prefill(self, params, caches, ids, pos, attn, slot, P,
                  image_embeds, key, temp, top_p, top_k):
         """Run the prompt through the model, write KV rows of `slot`, sample tok 1."""
         cfg = self.config
         bucket = ids.shape[1]
         Lyr = cfg.text.num_hidden_layers
+        Hkv, D = cfg.text.num_key_value_heads, cfg.text.head_dim
         # local cache covering the bucket
         local = {
-            "k": jnp.zeros((Lyr, 1, bucket, cfg.text.num_key_value_heads,
-                            cfg.text.head_dim), k_cache.dtype),
-            "v": jnp.zeros((Lyr, 1, bucket, cfg.text.num_key_value_heads,
-                            cfg.text.head_dim), v_cache.dtype),
+            "k": jnp.zeros((Lyr, 1, bucket, Hkv, D), caches["k"].dtype),
+            "v": jnp.zeros((Lyr, 1, bucket, Hkv, D), caches["v"].dtype),
             "kv_valid": attn,
         }
+        if "k_scale" in caches:
+            local["k_scale"] = jnp.zeros((Lyr, 1, Hkv, bucket), jnp.float32)
+            local["v_scale"] = jnp.zeros((Lyr, 1, Hkv, bucket), jnp.float32)
         from ..ops.flags import use_flash_attention
         cache_positions = jnp.broadcast_to(jnp.arange(bucket)[None], (1, bucket))
         logits, new_cache = qmodel.forward(
@@ -293,23 +311,25 @@ class DecodeEngine:
         last_logits = jnp.take_along_axis(
             logits, (P - 1)[None, None, None].astype(jnp.int32), axis=1)[:, 0]  # (1, V)
         tok = sample_tokens(last_logits, key, temp[None], top_p[None], top_k[None])
-        k_cache = jax.lax.dynamic_update_slice(
-            k_cache, new_cache["k"].astype(k_cache.dtype), (0, slot, 0, 0, 0))
-        v_cache = jax.lax.dynamic_update_slice(
-            v_cache, new_cache["v"].astype(v_cache.dtype), (0, slot, 0, 0, 0))
-        return k_cache, v_cache, tok
+        out = {}
+        for name in caches:
+            start = (0, slot) + (0,) * (caches[name].ndim - 2)
+            out[name] = jax.lax.dynamic_update_slice(
+                caches[name], new_cache[name].astype(caches[name].dtype), start)
+        return out, tok
 
-    def _decode_loop(self, params, k_cache, v_cache, last_token, lengths, next_pos,
+    def _decode_loop(self, params, caches, last_token, lengths, next_pos,
                      active, temps, top_ps, top_ks, key, *, n_steps: int):
         """Generate n_steps tokens for all active slots on-device."""
         cfg = self.config
         S = self.S
 
         def body(i, carry):
-            k_cache, v_cache, last_token, lengths, next_pos, key, toks = carry
+            caches, last_token, lengths, next_pos, key, toks = carry
             pos = jnp.broadcast_to(next_pos[:, None, None], (S, 3, 1)).astype(jnp.int64)
             kv_valid = (jnp.arange(self.Lalloc)[None, :] < (lengths + 1)[:, None]).astype(jnp.int32)
-            cache = {"k": k_cache, "v": v_cache, "kv_valid": kv_valid}
+            cache = dict(caches)
+            cache["kv_valid"] = kv_valid
             from ..ops.flags import use_flash_attention
             logits, new_cache = qmodel.forward(
                 cfg, params, last_token[:, None], pos, None,
@@ -321,10 +341,11 @@ class DecodeEngine:
             toks = toks.at[:, i].set(tok)
             lengths = jnp.where(active, lengths + 1, lengths)
             next_pos = jnp.where(active, next_pos + 1, next_pos)
-            return (new_cache["k"], new_cache["v"], tok, lengths, next_pos, key, toks)
+            return ({k: new_cache[k] for k in caches}, tok, lengths, next_pos,
+                    key, toks)
 
         toks0 = jnp.zeros((S, n_steps), jnp.int32)
-        k_cache, v_cache, last_token, lengths, next_pos, key, toks = jax.lax.fori_loop(
+        caches, last_token, lengths, next_pos, key, toks = jax.lax.fori_loop(
             0, n_steps, body,
-            (k_cache, v_cache, last_token, lengths, next_pos, key, toks0))
-        return k_cache, v_cache, toks, lengths, next_pos
+            (caches, last_token, lengths, next_pos, key, toks0))
+        return caches, toks, lengths, next_pos

@@ -32,6 +32,7 @@ def attention_layer(cfg: TextConfig, p: Dict, x: jnp.ndarray,
                     cache_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
                     cache_positions: Optional[jnp.ndarray] = None,
                     kv_valid: Optional[jnp.ndarray] = None,
+                    cache_scales: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
                     use_flash: bool = False):
     """Self-attention with M-RoPE. x: (B, L, hidden).
 
@@ -39,6 +40,11 @@ def attention_layer(cfg: TextConfig, p: Dict, x: jnp.ndarray,
     With cache: (k_cache, v_cache) (B, Lmax, Hkv, D); new k/v scattered at
     cache_positions (B, L); attention over cache with kv_valid mask + causal by
     absolute positions. Returns (out, new_k_cache, new_v_cache).
+
+    With cache_scales (k_scale, v_scale) (B, Hkv, Lmax): the cache is int8 —
+    new tokens are quantized per-token-per-head on write and dequantized on
+    read (in-kernel for the paged path). Prefill attention still uses the raw
+    bf16 k/v of the current tokens.
     """
     B, L, _ = x.shape
     H, Hkv, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
@@ -64,8 +70,20 @@ def attention_layer(cfg: TextConfig, p: Dict, x: jnp.ndarray,
     else:
         k_cache, v_cache = cache_kv
         bidx = jnp.arange(B)[:, None]
-        k_cache = k_cache.at[bidx, cache_positions].set(k.astype(k_cache.dtype))
-        v_cache = v_cache.at[bidx, cache_positions].set(v.astype(v_cache.dtype))
+        if cache_scales is not None:
+            from ...ops.decode_attention import dequantize_kv, quantize_kv
+            k_scale, v_scale = cache_scales
+            kq, ksc = quantize_kv(k)
+            vq, vsc = quantize_kv(v)
+            k_cache = k_cache.at[bidx, cache_positions].set(kq)
+            v_cache = v_cache.at[bidx, cache_positions].set(vq)
+            # scales stored (B, Hkv, Lmax): advanced indices around the slice
+            # put the (B, L) dims first → value shape (B, L, Hkv)
+            k_scale = k_scale.at[bidx, :, cache_positions].set(ksc)
+            v_scale = v_scale.at[bidx, :, cache_positions].set(vsc)
+        else:
+            k_cache = k_cache.at[bidx, cache_positions].set(k.astype(k_cache.dtype))
+            v_cache = v_cache.at[bidx, cache_positions].set(v.astype(v_cache.dtype))
         if use_flash and L > 1:
             # prefill into a fresh cache: attention over the local sequence only
             from ...ops.flash_attention import flash_attention
@@ -75,21 +93,33 @@ def attention_layer(cfg: TextConfig, p: Dict, x: jnp.ndarray,
             # (Mosaic HBM slicing needs the last dim 128-aligned)
             from ...ops.decode_attention import paged_decode_attention
             lengths = jnp.sum(kv_valid, axis=-1).astype(jnp.int32)
-            out = paged_decode_attention(q[:, 0], k_cache, v_cache,
-                                         lengths)[:, None]
+            if cache_scales is not None:
+                out = paged_decode_attention(q[:, 0], k_cache, v_cache, lengths,
+                                             k_scale, v_scale)[:, None]
+            else:
+                out = paged_decode_attention(q[:, 0], k_cache, v_cache,
+                                             lengths)[:, None]
         else:
             Lmax = k_cache.shape[1]
             kv_pos = jnp.broadcast_to(jnp.arange(Lmax)[None, :], (B, Lmax))
-            out = dense_attention(q, k_cache.astype(q.dtype), v_cache.astype(q.dtype),
+            if cache_scales is not None:
+                kd = dequantize_kv(k_cache, k_scale, q.dtype)
+                vd = dequantize_kv(v_cache, v_scale, q.dtype)
+            else:
+                kd, vd = k_cache.astype(q.dtype), v_cache.astype(q.dtype)
+            out = dense_attention(q, kd, vd,
                                   causal=True, attention_mask=kv_valid,
                                   q_positions=cache_positions, kv_positions=kv_pos)
-        new_cache = (k_cache, v_cache)
+        if cache_scales is not None:
+            new_cache = (k_cache, v_cache, k_scale, v_scale)
+        else:
+            new_cache = (k_cache, v_cache)
     return out.reshape(B, L, H * D) @ p["o_w"], new_cache
 
 
 def decoder_layer(cfg: TextConfig, p: Dict, x, cos, sin, attention_mask, q_positions,
                   cache_kv=None, cache_positions=None, kv_valid=None,
-                  use_flash=False):
+                  cache_scales=None, use_flash=False):
     attn_keys = ["q_w", "q_b", "k_w", "k_b", "v_w", "v_b", "o_w"]
     if cfg.use_qk_norm:
         attn_keys += ["q_norm", "k_norm"]
@@ -97,7 +127,7 @@ def decoder_layer(cfg: TextConfig, p: Dict, x, cos, sin, attention_mask, q_posit
         cfg, {k: p[k] for k in attn_keys},
         rms_norm(x, p["input_ln"], cfg.rms_norm_eps),
         cos, sin, attention_mask, q_positions, cache_kv, cache_positions, kv_valid,
-        use_flash=use_flash)
+        cache_scales=cache_scales, use_flash=use_flash)
     x = x + h
     h2 = rms_norm(x, p["post_ln"], cfg.rms_norm_eps)
     x = x + swiglu(h2, p["gate_w"], p["up_w"], p["down_w"])
@@ -134,6 +164,20 @@ def text_decoder(
             return h, None
         x, _ = jax.lax.scan(body, inputs_embeds, params["layers"])
         new_cache = None
+    elif "k_scale" in cache:      # int8 KV cache with per-token dequant scales
+        def body(h, layer):
+            p, kc, vc, ks, vs = layer
+            h, (nk, nv, nks, nvs) = layer_fn(
+                cfg, p, h, cos, sin, None, q_positions,
+                cache_kv=(kc, vc), cache_positions=cache_positions,
+                kv_valid=cache["kv_valid"], cache_scales=(ks, vs))
+            return h, (nk, nv, nks, nvs)
+        x, (nk, nv, nks, nvs) = jax.lax.scan(
+            body, inputs_embeds,
+            (params["layers"], cache["k"], cache["v"],
+             cache["k_scale"], cache["v_scale"]))
+        new_cache = {"k": nk, "v": nv, "k_scale": nks, "v_scale": nvs,
+                     "kv_valid": cache["kv_valid"]}
     else:
         def body(h, layer):
             p, kc, vc = layer

@@ -78,9 +78,19 @@ class Sam2Predictor:
         self._embeddings = None
         self._orig_size: Tuple[int, int] = (0, 0)
         self._encode = jax.jit(functools.partial(encode_image, config))
-        self._predict_cache: Dict = {}
+        # jitted decoder; prompt shapes bucketed (K, N powers of two) to bound
+        # recompiles — each (K, N, multimask) signature compiles once
+        self._predict = jax.jit(functools.partial(predict_masks, config),
+                                static_argnames=("multimask_output",))
         self.image_pe = jnp.asarray(
             image_wide_positional_embedding(config.prompt, params["prompt"]))
+
+    @staticmethod
+    def _bucket(n: int) -> int:
+        b = 1
+        while b < n:
+            b *= 2
+        return b
 
     # ------------------------------------------------------------------- image
     def set_image(self, image) -> None:
@@ -120,9 +130,9 @@ class Sam2Predictor:
             b[..., 2] *= sx
             b[..., 3] *= sy
             boxes = jnp.asarray(b)
-        masks, iou = predict_masks(self.config, self.params, self._embeddings,
+        masks, iou = self._predict(self.params, self._embeddings,
                                    self.image_pe, pts, lbls, boxes,
-                                   multimask_output)
+                                   multimask_output=multimask_output)
         logits = masks[0, 0]                              # (M, h4, w4)
         up = jax.image.resize(logits, (logits.shape[0], oh, ow), method="linear")
         return np.asarray(up > 0), np.asarray(iou[0, 0]), np.asarray(logits)
@@ -150,12 +160,12 @@ class Sam2Predictor:
         """All tiles × all objects in one decoder call. prompts_list[b] holds
         tile b's object prompts (box and/or points); empty lists allowed."""
         B = len(prompts_list)
-        K = max([min(len(p), max_objects) for p in prompts_list] + [1])
+        K = self._bucket(max([min(len(p), max_objects) for p in prompts_list] + [1]))
         S = self.config.image_size
         oh, ow = self._orig_size
         sx, sy = S / ow, S / oh
-        max_pts = max([len(o.get("points", [])) for ps in prompts_list
-                       for o in ps] + [1])
+        max_pts = self._bucket(max([len(o.get("points", [])) for ps in prompts_list
+                                    for o in ps] + [1]))
         boxes = np.zeros((B, K, 4), np.float32)
         pts = np.zeros((B, K, max_pts, 2), np.float32)
         lbl = np.full((B, K, max_pts), -10, np.int32)
@@ -175,8 +185,8 @@ class Sam2Predictor:
                     pts[b, i, :n, 0] = arr[:, 0] * sx
                     pts[b, i, :n, 1] = arr[:, 1] * sy
                     lbl[b, i, :n] = p.get("labels", [1] * n)
-        masks, iou = predict_masks(
-            self.config, self.params, self._embeddings, self.image_pe,
+        masks, iou = self._predict(
+            self.params, self._embeddings, self.image_pe,
             jnp.asarray(pts) if has_points else None,
             jnp.asarray(lbl) if has_points else None,
             jnp.asarray(boxes) if has_boxes else None,
@@ -227,8 +237,8 @@ class Sam2Predictor:
                 pts[0, i, :n, 1] = arr[:, 1] * sy
                 labels = p.get("labels", [1] * n)
                 lbl[0, i, :n] = labels
-        masks, iou = predict_masks(
-            self.config, self.params, self._embeddings, self.image_pe,
+        masks, iou = self._predict(
+            self.params, self._embeddings, self.image_pe,
             jnp.asarray(pts) if has_points else None,
             jnp.asarray(lbl) if has_points else None,
             jnp.asarray(boxes) if has_boxes else None,
