@@ -29,16 +29,20 @@ from .qwen2_5_vl.loader import load_params as _load_qwen_params
 
 
 def config_from_hf_dict(cfg: dict) -> Qwen25VLConfig:
-    """Map an HF text-model config.json (llama/qwen2/qwen3/mistral) onto our
-    config. mrope_section is derived as head_dim//2 on the t axis (1-D RoPE)."""
+    """Map an HF text-model config.json (llama/qwen2/qwen3/qwen3_moe/mistral/
+    mixtral) onto our config. mrope_section is derived as head_dim//2 on the t
+    axis (1-D RoPE)."""
     model_type = cfg.get("model_type", "llama")
     hidden = cfg["hidden_size"]
     heads = cfg["num_attention_heads"]
     head_dim = cfg.get("head_dim") or hidden // heads
+    # MoE families (ref converter template.py:508,628,733)
+    n_experts = cfg.get("num_experts") or cfg.get("num_local_experts") or 0
+    intermediate = cfg.get("moe_intermediate_size") if n_experts else None
     text = TextConfig(
         vocab_size=cfg["vocab_size"],
         hidden_size=hidden,
-        intermediate_size=cfg["intermediate_size"],
+        intermediate_size=intermediate or cfg["intermediate_size"],
         num_hidden_layers=cfg["num_hidden_layers"],
         num_attention_heads=heads,
         num_key_value_heads=cfg.get("num_key_value_heads", heads),
@@ -48,13 +52,21 @@ def config_from_hf_dict(cfg: dict) -> Qwen25VLConfig:
         rope_theta=cfg.get("rope_theta", 10000.0),
         mrope_section=(head_dim // 2, 0, 0),       # 1-D RoPE: all channels on t
         tie_word_embeddings=cfg.get("tie_word_embeddings", False),
-        attention_bias=model_type in ("qwen2", "qwen2_5", "qwen2_vl"),
+        attention_bias=model_type in ("qwen2", "qwen2_5", "qwen2_vl", "qwen2_moe"),
         use_qk_norm=model_type in ("qwen3", "qwen3_moe"),
+        n_experts=n_experts,
+        n_experts_per_tok=cfg.get("num_experts_per_tok", 2),
+        # mixtral always renormalizes top-k weights; qwen-moe via config flag
+        norm_topk_prob=(cfg.get("norm_topk_prob", False)
+                        or model_type == "mixtral"),
     )
+    # HF configs may carry explicit None for special tokens — `or` chains, not
+    # .get defaults
+    eos = cfg.get("eos_token_id") if isinstance(cfg.get("eos_token_id"), int) else 2
     return Qwen25VLConfig(text=text, vision=VisionConfig(),
-                          bos_token_id=cfg.get("bos_token_id", 1),
-                          eos_token_id=cfg.get("eos_token_id", 2),
-                          pad_token_id=cfg.get("pad_token_id") or cfg.get("eos_token_id", 2))
+                          bos_token_id=cfg.get("bos_token_id") or 1,
+                          eos_token_id=eos,
+                          pad_token_id=cfg.get("pad_token_id") or eos)
 
 
 def text_position_ids(input_ids: np.ndarray, attention_mask: np.ndarray

@@ -52,13 +52,25 @@ def iter_hf_tensors(config: Qwen25VLConfig, params: Dict
         ("q_norm", "self_attn.q_norm.weight", False),
         ("k_norm", "self_attn.k_norm.weight", False),
     ]
+    moe_keys = ("gate_w", "up_w", "down_w")
     for i in range(L):
         for key, hf_name, transpose in layer_map:
             if key not in params["layers"]:
                 continue
             if not t.attention_bias and key in ("q_b", "k_b", "v_b"):
                 continue            # llama-family: no bias tensors in HF ckpt
+            if t.n_experts and key in moe_keys:
+                continue            # expert stacks exported below
             yield f"model.layers.{i}.{hf_name}", _np(params["layers"][key][i], transpose)
+        if t.n_experts:   # qwen3_moe naming (mixtral ckpts reload via loader's
+            # block_sparse_moe aliases; exports normalize to the qwen layout)
+            yield (f"model.layers.{i}.mlp.gate.weight",
+                   _np(params["layers"]["router_w"][i], transpose=True))
+            for e in range(t.n_experts):
+                for key, nm in (("gate_w", "gate_proj"), ("up_w", "up_proj"),
+                                ("down_w", "down_proj")):
+                    yield (f"model.layers.{i}.mlp.experts.{e}.{nm}.weight",
+                           _np(params["layers"][key][i, e], transpose=True))
 
     if "vision" in params:
         vis = params["vision"]
@@ -86,7 +98,14 @@ def iter_hf_tensors(config: Qwen25VLConfig, params: Dict
 
 def config_to_hf_dict(config: Qwen25VLConfig) -> Dict:
     t, v = config.text, config.vision
+    moe = {}
+    if t.n_experts:
+        moe = {"num_experts": t.n_experts,
+               "num_experts_per_tok": t.n_experts_per_tok,
+               "norm_topk_prob": t.norm_topk_prob,
+               "moe_intermediate_size": t.intermediate_size}
     return {
+        **moe,
         "architectures": ["Qwen2_5_VLForConditionalGeneration"],
         "model_type": "qwen2_5_vl",
         "vocab_size": t.vocab_size,

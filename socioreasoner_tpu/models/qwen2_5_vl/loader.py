@@ -84,6 +84,18 @@ def load_params(config: Qwen25VLConfig, tensors: Iterator[Tuple[str, np.ndarray]
         a = arr.T if transpose else arr
         store.setdefault(key, [None] * (L if store is txt else VD))[layer_idx] = a
 
+    # MoE (qwen3_moe / mixtral): per-(layer, expert) tensors stacked (L, E, …)
+    E = t.n_experts
+    moe: Dict[str, list] = {}
+    moe_expert_map = {   # HF suffix → (our key, mixtral w-name)
+        "gate_proj": ("gate_w", "w1"), "up_proj": ("up_w", "w3"),
+        "down_proj": ("down_w", "w2")}
+    mixtral_names = {w: key for key, w in moe_expert_map.values()}
+
+    def put_expert(layer_idx, expert_idx, key, arr):
+        moe.setdefault(key, [[None] * E for _ in range(L)])
+        moe[key][layer_idx][expert_idx] = arr.T
+
     for name, arr in tensors:
         name = _normalize(name)
         arr = np.asarray(arr)
@@ -100,6 +112,15 @@ def load_params(config: Qwen25VLConfig, tensors: Iterator[Tuple[str, np.ndarray]
             if rest in txt_layer_map:
                 key, tr = txt_layer_map[rest]
                 put_layer(txt, i, key, arr, tr)
+            elif E and rest in ("mlp.gate.weight", "block_sparse_moe.gate.weight"):
+                put_layer(txt, i, "router_w", arr, True)
+            elif E and (m2 := re.match(
+                    r"mlp\.experts\.(\d+)\.(gate_proj|up_proj|down_proj)\.weight",
+                    rest)):
+                put_expert(i, int(m2.group(1)), moe_expert_map[m2.group(2)][0], arr)
+            elif E and (m2 := re.match(
+                    r"block_sparse_moe\.experts\.(\d+)\.(w1|w2|w3)\.weight", rest)):
+                put_expert(i, int(m2.group(1)), mixtral_names[m2.group(2)], arr)
         elif with_vision and name.startswith("visual."):
             rest = name[len("visual."):]
             if rest == "patch_embed.proj.weight":
@@ -130,6 +151,11 @@ def load_params(config: Qwen25VLConfig, tensors: Iterator[Tuple[str, np.ndarray]
     for key, lst in txt.items():
         assert all(x is not None for x in lst), f"missing text layer tensors for {key}"
         params["layers"][key] = jnp.asarray(np.stack(lst), dtype)
+    for key, layers in moe.items():
+        assert all(x is not None for row in layers for x in row), \
+            f"missing expert tensors for {key}"
+        params["layers"][key] = jnp.asarray(
+            np.stack([np.stack(row) for row in layers]), dtype)   # (L, E, in, out)
     for key, lst in vis.items():
         assert all(x is not None for x in lst), f"missing vision layer tensors for {key}"
         vision["blocks"][key] = jnp.asarray(np.stack(lst), dtype)

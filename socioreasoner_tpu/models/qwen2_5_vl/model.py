@@ -116,11 +116,25 @@ def init_params(config: Qwen25VLConfig, key: jax.Array, dtype=jnp.float32,
             "k_w": stack((t.hidden_size, Hkv * D)), "k_b": jnp.zeros((L, Hkv * D), dtype),
             "v_w": stack((t.hidden_size, Hkv * D)), "v_b": jnp.zeros((L, Hkv * D), dtype),
             "o_w": stack((H * D, t.hidden_size)),
+        },
+    }
+    if t.n_experts:   # MoE family: routed expert stacks (L, E, in, out)
+        E = t.n_experts
+        params["layers"].update({
+            "router_w": stack((t.hidden_size, E)),
+            "gate_w": stack((E, t.hidden_size, t.intermediate_size)),
+            "up_w": stack((E, t.hidden_size, t.intermediate_size)),
+            "down_w": stack((E, t.intermediate_size, t.hidden_size)),
+        })
+    else:
+        params["layers"].update({
             "gate_w": stack((t.hidden_size, t.intermediate_size)),
             "up_w": stack((t.hidden_size, t.intermediate_size)),
             "down_w": stack((t.intermediate_size, t.hidden_size)),
-        },
-    }
+        })
+    if t.use_qk_norm:
+        params["layers"]["q_norm"] = jnp.ones((L, D), dtype)
+        params["layers"]["k_norm"] = jnp.ones((L, D), dtype)
     if not t.tie_word_embeddings:
         params["lm_head"] = dense(next(keys), (t.hidden_size, t.vocab_size))
     if with_vision:

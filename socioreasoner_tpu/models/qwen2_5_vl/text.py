@@ -130,8 +130,18 @@ def decoder_layer(cfg: TextConfig, p: Dict, x, cos, sin, attention_mask, q_posit
         cache_scales=cache_scales, use_flash=use_flash)
     x = x + h
     h2 = rms_norm(x, p["post_ln"], cfg.rms_norm_eps)
-    x = x + swiglu(h2, p["gate_w"], p["up_w"], p["down_w"])
-    return x, new_cache
+    if cfg.n_experts:      # MoE family (qwen3_moe/mixtral): routed expert MLPs
+        from ...ops.moe import moe_mlp
+        B, L, Hd = x.shape
+        moe_out, aux = moe_mlp(
+            h2.reshape(B * L, Hd),
+            {k: p[k] for k in ("router_w", "gate_w", "up_w", "down_w")},
+            cfg.n_experts_per_tok, cfg.norm_topk_prob)
+        x = x + moe_out.reshape(B, L, Hd)
+    else:
+        x = x + swiglu(h2, p["gate_w"], p["up_w"], p["down_w"])
+        aux = jnp.zeros((), jnp.float32)
+    return x, new_cache, aux
 
 
 def text_decoder(
@@ -160,14 +170,16 @@ def text_decoder(
 
     if cache is None:
         def body(h, p):
-            h, _ = layer_fn(cfg, p, h, cos, sin, attention_mask, q_positions)
-            return h, None
-        x, _ = jax.lax.scan(body, inputs_embeds, params["layers"])
-        new_cache = None
+            h, _, aux = layer_fn(cfg, p, h, cos, sin, attention_mask, q_positions)
+            return h, aux
+        x, aux = jax.lax.scan(body, inputs_embeds, params["layers"])
+        # MoE load-balance aux loss summed over layers (ref megatron_strategy
+        # :398-407); empty dict for dense models keeps the cache API unchanged
+        new_cache = {"moe_aux": jnp.sum(aux)} if cfg.n_experts else None
     elif "k_scale" in cache:      # int8 KV cache with per-token dequant scales
         def body(h, layer):
             p, kc, vc, ks, vs = layer
-            h, (nk, nv, nks, nvs) = layer_fn(
+            h, (nk, nv, nks, nvs), _ = layer_fn(
                 cfg, p, h, cos, sin, None, q_positions,
                 cache_kv=(kc, vc), cache_positions=cache_positions,
                 kv_valid=cache["kv_valid"], cache_scales=(ks, vs))
@@ -181,9 +193,9 @@ def text_decoder(
     else:
         def body(h, layer):
             p, kc, vc = layer
-            h, (nk, nv) = layer_fn(cfg, p, h, cos, sin, None, q_positions,
-                                   cache_kv=(kc, vc), cache_positions=cache_positions,
-                                   kv_valid=cache["kv_valid"])
+            h, (nk, nv), _ = layer_fn(cfg, p, h, cos, sin, None, q_positions,
+                                      cache_kv=(kc, vc), cache_positions=cache_positions,
+                                      kv_valid=cache["kv_valid"])
             return h, (nk, nv)
         x, (nk, nv) = jax.lax.scan(body, inputs_embeds,
                                    (params["layers"], cache["k"], cache["v"]))

@@ -18,13 +18,19 @@ import jax
 import jax.numpy as jnp
 
 
-def moe_router(x: jnp.ndarray, router_w: jnp.ndarray, top_k: int
+def moe_router(x: jnp.ndarray, router_w: jnp.ndarray, top_k: int,
+               norm_topk_prob: bool = True
                ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """x: (T, H) → (weights (T, E), probs (T, E), aux_loss scalar)."""
+    """x: (T, H) → (weights (T, E), probs (T, E), aux_loss scalar).
+
+    HF semantics (Qwen3MoeSparseMoeBlock / MixtralSparseMoeBlock): softmax over
+    all experts in float32, top-k, then renormalize iff norm_topk_prob (always
+    True for mixtral; a config flag for qwen-moe)."""
     logits = (x @ router_w).astype(jnp.float32)          # (T, E)
     probs = jax.nn.softmax(logits, axis=-1)
     topv, topi = jax.lax.top_k(probs, top_k)
-    topv = topv / topv.sum(axis=-1, keepdims=True)       # renormalize (qwen-moe)
+    if norm_topk_prob:
+        topv = topv / topv.sum(axis=-1, keepdims=True)
     E = probs.shape[-1]
     weights = jnp.zeros_like(probs).at[
         jnp.arange(x.shape[0])[:, None], topi].set(topv)
@@ -35,11 +41,12 @@ def moe_router(x: jnp.ndarray, router_w: jnp.ndarray, top_k: int
     return weights, probs, aux_loss
 
 
-def moe_mlp(x: jnp.ndarray, params: Dict, top_k: int = 2
-            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def moe_mlp(x: jnp.ndarray, params: Dict, top_k: int = 2,
+            norm_topk_prob: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """SwiGLU expert MLPs. params: router_w (H, E), gate_w/up_w (E, H, I),
     down_w (E, I, H). Returns (out (T, H), aux_loss)."""
-    weights, _, aux_loss = moe_router(x, params["router_w"], top_k)
+    weights, _, aux_loss = moe_router(x, params["router_w"], top_k,
+                                      norm_topk_prob)
     g = jnp.einsum("th,ehi->tei", x, params["gate_w"])
     u = jnp.einsum("th,ehi->tei", x, params["up_w"])
     h = jax.nn.silu(g) * u

@@ -52,10 +52,25 @@ def vision_block_specs() -> Dict[str, P]:
 
 def param_specs(params: Dict) -> Dict:
     """Build a spec pytree matching the model params structure."""
+    base = text_layer_specs()
+    # extras beyond the dense-layer table: qk norms (qwen3) replicate; MoE
+    # expert stacks (L, E, in, out) shard experts over "tp" (EP == tp axis)
+    moe_specs = {
+        "router_w": P(),
+        "gate_w": P(None, "tp", "fsdp", None),
+        "up_w": P(None, "tp", "fsdp", None),
+        "down_w": P(None, "tp", None, "fsdp"),
+    }
+    layer_specs = {}
+    for key, v in params["layers"].items():
+        if hasattr(v, "ndim") and v.ndim == 4 and key in moe_specs:
+            layer_specs[key] = moe_specs[key]
+        else:
+            layer_specs[key] = base.get(key, moe_specs.get(key, P()))
     specs: Dict[str, Any] = {
         "embed": P("tp", "fsdp"),       # vocab-parallel embedding
         "final_ln": P(),
-        "layers": text_layer_specs(),
+        "layers": layer_specs,
     }
     if "lm_head" in params:
         specs["lm_head"] = P("fsdp", "tp")

@@ -51,3 +51,28 @@ def test_export_loads_in_transformers(tmp_path):
     got_logits, _ = qmodel.forward(config, params, jnp.asarray(ids),
                                    jnp.asarray(pos), jnp.asarray(attn))
     np.testing.assert_allclose(np.array(got_logits), want, atol=2e-4, rtol=1e-3)
+
+
+def test_export_roundtrip_moe(tmp_path):
+    """MoE expert stacks export (qwen3_moe naming) and reload identically."""
+    from socioreasoner_tpu.models.qwen2_5_vl.config import TextConfig, VisionConfig
+    from socioreasoner_tpu.models.qwen2_5_vl.loader import (iter_safetensors,
+                                                            load_params)
+    config = Qwen25VLConfig(
+        vision=VisionConfig(depth=1, hidden_size=16, intermediate_size=32,
+                            num_heads=2, out_hidden_size=32),
+        text=TextConfig(vocab_size=128, hidden_size=32, intermediate_size=16,
+                        num_hidden_layers=2, num_attention_heads=4,
+                        num_key_value_heads=2, head_dim=8,
+                        mrope_section=(2, 1, 1), tie_word_embeddings=False,
+                        use_qk_norm=True, n_experts=4, n_experts_per_tok=2,
+                        attention_bias=False),
+        bos_token_id=0, eos_token_id=1, pad_token_id=0)
+    params = qmodel.init_params(config, jax.random.key(2), jnp.float32,
+                                with_vision=False)
+    path = str(tmp_path / "moe_ckpt")
+    save_pretrained(config, params, path)
+    params2 = load_params(config, iter_safetensors(path), jnp.float32,
+                          with_vision=False)
+    diffs = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), params, params2)
+    assert max(jax.tree.leaves(diffs)) < 1e-6

@@ -45,6 +45,43 @@ def test_moe_routing_and_aux_loss():
     assert float(jnp.abs(out2).mean()) > float(jnp.abs(out).mean())
 
 
+def test_moe_model_sharded_train_step(mesh8):
+    """Full Qwen3-MoE-style model: EP-sharded params, forward + grad on mesh."""
+    from socioreasoner_tpu.models.qwen2_5_vl.config import (
+        Qwen25VLConfig, TextConfig, VisionConfig)
+    from socioreasoner_tpu.models.qwen2_5_vl import model as qmodel
+    from socioreasoner_tpu.parallel.sharding import shard_params
+
+    config = Qwen25VLConfig(
+        vision=VisionConfig(depth=1, hidden_size=16, intermediate_size=32,
+                            num_heads=2, out_hidden_size=32),
+        text=TextConfig(vocab_size=128, hidden_size=32, intermediate_size=16,
+                        num_hidden_layers=2, num_attention_heads=4,
+                        num_key_value_heads=2, head_dim=8,
+                        mrope_section=(2, 1, 1), tie_word_embeddings=False,
+                        use_qk_norm=True, n_experts=4, n_experts_per_tok=2),
+        bos_token_id=0, eos_token_id=1, pad_token_id=0)
+    params = qmodel.init_params(config, jax.random.key(0), with_vision=False)
+    params = shard_params(params, mesh8)
+    ids = jnp.asarray(np.random.default_rng(0).integers(2, 100, (4, 8)))
+    pos = jnp.broadcast_to(jnp.arange(8)[None, None], (4, 3, 8)).astype(jnp.int64)
+
+    def loss_fn(p):
+        logits, aux = qmodel.forward(config, p, ids, pos, None)
+        lp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), axis=-1)
+        nll = -jnp.take_along_axis(lp, ids[:, 1:, None], axis=-1).mean()
+        return nll + 0.01 * aux["moe_aux"]
+
+    with jax.sharding.set_mesh(mesh8):
+        loss, grads = jax.jit(jax.value_and_grad(loss_fn))(params)
+    assert np.isfinite(float(loss))
+    gnorm = jax.tree.reduce(
+        lambda a, b: a + float(jnp.sum(jnp.abs(b))), grads, 0.0)
+    assert gnorm > 0
+    # every expert stack keeps its EP sharding contract
+    assert params["layers"]["gate_w"].shape == (2, 4, 32, 16)
+
+
 def test_moe_sharded_over_tp(mesh8):
     from socioreasoner_tpu.ops.moe import (init_moe_params, moe_mlp,
                                            moe_param_specs)
