@@ -1,4 +1,5 @@
-"""Text-only LLM families over the shared decoder: Llama, Qwen2, Qwen2.5, Qwen3.
+"""Text-only LLM families over the shared decoder: Llama, Mistral, Qwen2,
+Qwen2.5, Qwen2-MoE, Qwen3, Qwen3-MoE, Mixtral.
 
 The reference's model bridge registers templates for llama/qwen2/qwen2_moe/
 qwen3/qwen3_moe/mistral/mixtral (mcore_adapter/models/converter/template.py:414-845).
@@ -9,6 +10,9 @@ standard pre-norm transformer — via per-family config knobs:
   qwen2/qwen2.5 — qkv bias, 1-D RoPE
   qwen3        — no bias, per-head q/k RMS norm (handled in text.py when
                  `use_qk_norm`), 1-D RoPE
+  qwen3_moe    — qwen3 + routed experts (n_experts / n_experts_per_tok)
+  qwen2_moe    — qwen2 + routed experts + sigmoid-gated shared expert
+  mixtral      — llama + routed experts with always-renormalized top-k
 
 1-D RoPE == M-RoPE with equal t/h/w ids, so position_ids are (B, 3, L) built
 from plain arange; no separate attention path is needed.
@@ -59,7 +63,16 @@ def config_from_hf_dict(cfg: dict) -> Qwen25VLConfig:
         # mixtral always renormalizes top-k weights; qwen-moe via config flag
         norm_topk_prob=(cfg.get("norm_topk_prob", False)
                         or model_type == "mixtral"),
+        shared_expert_intermediate=(
+            cfg.get("shared_expert_intermediate_size", 0)
+            if model_type == "qwen2_moe" else 0),
     )
+    if n_experts and (cfg.get("decoder_sparse_step", 1) != 1
+                      or cfg.get("mlp_only_layers")):
+        # mixed dense/sparse layer stacks would break the homogeneous lax.scan
+        raise NotImplementedError(
+            "decoder_sparse_step != 1 / mlp_only_layers are not supported "
+            "(all layers must be MoE)")
     # HF configs may carry explicit None for special tokens — `or` chains, not
     # .get defaults
     eos = cfg.get("eos_token_id") if isinstance(cfg.get("eos_token_id"), int) else 2

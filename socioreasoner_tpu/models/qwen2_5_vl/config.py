@@ -58,10 +58,12 @@ class TextConfig:
     tie_word_embeddings: bool = True
     attention_bias: bool = True           # qkv bias, o_proj no bias
     use_qk_norm: bool = False             # per-head q/k RMS norm (qwen3)
-    # MoE families (qwen3_moe / mixtral; ref converter template.py:508,628,733)
+    # MoE families (qwen2_moe / qwen3_moe / mixtral; ref converter
+    # template.py:508,628,733)
     n_experts: int = 0                    # 0 → dense MLP
     n_experts_per_tok: int = 2
     norm_topk_prob: bool = False          # renorm top-k weights (mixtral: True)
+    shared_expert_intermediate: int = 0   # qwen2_moe: sigmoid-gated shared MLP
 
 
 @dataclass(frozen=True)

@@ -62,7 +62,7 @@ def iter_hf_tensors(config: Qwen25VLConfig, params: Dict
             if t.n_experts and key in moe_keys:
                 continue            # expert stacks exported below
             yield f"model.layers.{i}.{hf_name}", _np(params["layers"][key][i], transpose)
-        if t.n_experts:   # qwen3_moe naming (mixtral ckpts reload via loader's
+        if t.n_experts:   # qwen-moe naming (mixtral ckpts reload via loader's
             # block_sparse_moe aliases; exports normalize to the qwen layout)
             yield (f"model.layers.{i}.mlp.gate.weight",
                    _np(params["layers"]["router_w"][i], transpose=True))
@@ -71,6 +71,13 @@ def iter_hf_tensors(config: Qwen25VLConfig, params: Dict
                                 ("down_w", "down_proj")):
                     yield (f"model.layers.{i}.mlp.experts.{e}.{nm}.weight",
                            _np(params["layers"][key][i, e], transpose=True))
+            if t.shared_expert_intermediate:
+                for key, nm in (("s_gate_w", "shared_expert.gate_proj"),
+                                ("s_up_w", "shared_expert.up_proj"),
+                                ("s_down_w", "shared_expert.down_proj"),
+                                ("sgate_w", "shared_expert_gate")):
+                    yield (f"model.layers.{i}.mlp.{nm}.weight",
+                           _np(params["layers"][key][i], transpose=True))
 
     if "vision" in params:
         vis = params["vision"]

@@ -70,6 +70,11 @@ def load_params(config: Qwen25VLConfig, tensors: Iterator[Tuple[str, np.ndarray]
         "mlp.gate_proj.weight": ("gate_w", True),
         "mlp.up_proj.weight": ("up_w", True),
         "mlp.down_proj.weight": ("down_w", True),
+        # qwen2_moe shared expert (sigmoid-gated dense MLP beside the experts)
+        "mlp.shared_expert.gate_proj.weight": ("s_gate_w", True),
+        "mlp.shared_expert.up_proj.weight": ("s_up_w", True),
+        "mlp.shared_expert.down_proj.weight": ("s_down_w", True),
+        "mlp.shared_expert_gate.weight": ("sgate_w", True),
     }
     vis_layer_map = {
         "norm1.weight": ("norm1", False), "norm2.weight": ("norm2", False),

@@ -126,6 +126,14 @@ def init_params(config: Qwen25VLConfig, key: jax.Array, dtype=jnp.float32,
             "up_w": stack((E, t.hidden_size, t.intermediate_size)),
             "down_w": stack((E, t.intermediate_size, t.hidden_size)),
         })
+        if t.shared_expert_intermediate:   # qwen2_moe shared MLP + sigmoid gate
+            Is = t.shared_expert_intermediate
+            params["layers"].update({
+                "s_gate_w": stack((t.hidden_size, Is)),
+                "s_up_w": stack((t.hidden_size, Is)),
+                "s_down_w": stack((Is, t.hidden_size)),
+                "sgate_w": stack((t.hidden_size, 1)),
+            })
     else:
         params["layers"].update({
             "gate_w": stack((t.hidden_size, t.intermediate_size)),

@@ -130,14 +130,18 @@ def decoder_layer(cfg: TextConfig, p: Dict, x, cos, sin, attention_mask, q_posit
         cache_scales=cache_scales, use_flash=use_flash)
     x = x + h
     h2 = rms_norm(x, p["post_ln"], cfg.rms_norm_eps)
-    if cfg.n_experts:      # MoE family (qwen3_moe/mixtral): routed expert MLPs
+    if cfg.n_experts:      # MoE family (qwen2/3_moe, mixtral): routed experts
         from ...ops.moe import moe_mlp
         B, L, Hd = x.shape
         moe_out, aux = moe_mlp(
             h2.reshape(B * L, Hd),
             {k: p[k] for k in ("router_w", "gate_w", "up_w", "down_w")},
             cfg.n_experts_per_tok, cfg.norm_topk_prob)
-        x = x + moe_out.reshape(B, L, Hd)
+        moe_out = moe_out.reshape(B, L, Hd).astype(x.dtype)
+        if cfg.shared_expert_intermediate:   # qwen2_moe: sigmoid-gated shared MLP
+            shared = swiglu(h2, p["s_gate_w"], p["s_up_w"], p["s_down_w"])
+            moe_out = moe_out + jax.nn.sigmoid(h2 @ p["sgate_w"]) * shared
+        x = x + moe_out
     else:
         x = x + swiglu(h2, p["gate_w"], p["up_w"], p["down_w"])
         aux = jnp.zeros((), jnp.float32)

@@ -60,6 +60,11 @@ def param_specs(params: Dict) -> Dict:
         "gate_w": P(None, "tp", "fsdp", None),
         "up_w": P(None, "tp", "fsdp", None),
         "down_w": P(None, "tp", None, "fsdp"),
+        # qwen2_moe shared expert: dense megatron column/row split
+        "s_gate_w": P(None, "fsdp", "tp"),
+        "s_up_w": P(None, "fsdp", "tp"),
+        "s_down_w": P(None, "tp", "fsdp"),
+        "sgate_w": P(),
     }
     layer_specs = {}
     for key, v in params["layers"].items():

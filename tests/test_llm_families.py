@@ -71,6 +71,22 @@ def test_qwen3_moe_parity():
     _compare(model, cfg.to_dict(), seed=3)
 
 
+def test_qwen2_moe_parity():
+    from transformers import Qwen2MoeConfig, Qwen2MoeForCausalLM
+    torch.manual_seed(5)
+    cfg = Qwen2MoeConfig(vocab_size=256, hidden_size=64, intermediate_size=128,
+                         moe_intermediate_size=32,
+                         shared_expert_intermediate_size=48,
+                         num_experts=4, num_experts_per_tok=2,
+                         norm_topk_prob=False, num_hidden_layers=2,
+                         num_attention_heads=4, num_key_value_heads=2,
+                         rms_norm_eps=1e-6, tie_word_embeddings=False,
+                         rope_theta=10000.0, decoder_sparse_step=1,
+                         mlp_only_layers=[])
+    model = Qwen2MoeForCausalLM(cfg).double().eval()
+    _compare(model, cfg.to_dict(), seed=5)
+
+
 def test_mixtral_parity():
     from transformers import MixtralConfig, MixtralForCausalLM
     torch.manual_seed(4)
