@@ -28,6 +28,10 @@ class VisionConfig:
     fullatt_block_indexes: Tuple[int, ...] = (7, 15, 23, 31)
     tokens_per_second: int = 2
     rms_norm_eps: float = 1e-6
+    # "qwen2_5": RMSNorm + SwiGLU + window attention (default);
+    # "qwen2":   LayerNorm + quick-GELU MLP + full attention every block
+    #            (ref converter template.py:789 qwen2_vl family)
+    variant: str = "qwen2_5"
 
     @property
     def head_dim(self) -> int:
@@ -97,20 +101,42 @@ class Qwen25VLConfig:
     def from_hf_dict(cls, cfg: dict) -> "Qwen25VLConfig":
         v = cfg.get("vision_config", {})
         t = cfg.get("text_config", cfg)  # older configs keep text fields top-level
-        vision = VisionConfig(
-            depth=v.get("depth", 32),
-            hidden_size=v.get("hidden_size", 1280),
-            intermediate_size=v.get("intermediate_size", 3420),
-            num_heads=v.get("num_heads", 16),
-            in_channels=v.get("in_channels", v.get("in_chans", 3)),
-            patch_size=v.get("patch_size", 14),
-            temporal_patch_size=v.get("temporal_patch_size", 2),
-            spatial_merge_size=v.get("spatial_merge_size", 2),
-            out_hidden_size=v.get("out_hidden_size", 2048),
-            window_size=v.get("window_size", 112),
-            fullatt_block_indexes=tuple(v.get("fullatt_block_indexes", (7, 15, 23, 31))),
-            tokens_per_second=v.get("tokens_per_second", 2),
-        )
+        if cfg.get("model_type") == "qwen2_vl" or v.get("model_type") == "qwen2_vl":
+            # qwen2_vl ViT: embed_dim is the tower width, vision "hidden_size"
+            # is the text dim (merger out); full attention in every block
+            depth = v.get("depth", 32)
+            embed = v.get("embed_dim", 1280)
+            vision = VisionConfig(
+                depth=depth,
+                hidden_size=embed,
+                intermediate_size=int(embed * v.get("mlp_ratio", 4)),
+                num_heads=v.get("num_heads", 16),
+                in_channels=v.get("in_channels", v.get("in_chans", 3)),
+                patch_size=v.get("patch_size", 14),
+                temporal_patch_size=v.get("temporal_patch_size", 2),
+                spatial_merge_size=v.get("spatial_merge_size", 2),
+                out_hidden_size=v.get("hidden_size", 3584),
+                # window machinery unused (every block is full-attention);
+                # keep a valid window size so the host permutation stays legal
+                window_size=112,
+                fullatt_block_indexes=tuple(range(depth)),
+                variant="qwen2",
+            )
+        else:
+            vision = VisionConfig(
+                depth=v.get("depth", 32),
+                hidden_size=v.get("hidden_size", 1280),
+                intermediate_size=v.get("intermediate_size", 3420),
+                num_heads=v.get("num_heads", 16),
+                in_channels=v.get("in_channels", v.get("in_chans", 3)),
+                patch_size=v.get("patch_size", 14),
+                temporal_patch_size=v.get("temporal_patch_size", 2),
+                spatial_merge_size=v.get("spatial_merge_size", 2),
+                out_hidden_size=v.get("out_hidden_size", 2048),
+                window_size=v.get("window_size", 112),
+                fullatt_block_indexes=tuple(v.get("fullatt_block_indexes", (7, 15, 23, 31))),
+                tokens_per_second=v.get("tokens_per_second", 2),
+            )
         hidden = t.get("hidden_size", 2048)
         heads = t.get("num_attention_heads", 16)
         text = TextConfig(

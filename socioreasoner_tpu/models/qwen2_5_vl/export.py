@@ -86,20 +86,27 @@ def iter_hf_tensors(config: Qwen25VLConfig, params: Dict
             v.hidden_size, v.in_channels, v.temporal_patch_size,
             v.patch_size, v.patch_size))
         yield "visual.merger.ln_q.weight", _np(vis["merger_ln_q"])
+        if "merger_ln_q_b" in vis:     # qwen2_vl LayerNorm merger
+            yield "visual.merger.ln_q.bias", _np(vis["merger_ln_q_b"])
         yield "visual.merger.mlp.0.weight", _np(vis["merger_fc1_w"], True)
         yield "visual.merger.mlp.0.bias", _np(vis["merger_fc1_b"])
         yield "visual.merger.mlp.2.weight", _np(vis["merger_fc2_w"], True)
         yield "visual.merger.mlp.2.bias", _np(vis["merger_fc2_b"])
         vmap = [
             ("norm1", "norm1.weight", False), ("norm2", "norm2.weight", False),
+            ("norm1_b", "norm1.bias", False), ("norm2_b", "norm2.bias", False),
             ("qkv_w", "attn.qkv.weight", True), ("qkv_b", "attn.qkv.bias", False),
             ("proj_w", "attn.proj.weight", True), ("proj_b", "attn.proj.bias", False),
             ("gate_w", "mlp.gate_proj.weight", True), ("gate_b", "mlp.gate_proj.bias", False),
             ("up_w", "mlp.up_proj.weight", True), ("up_b", "mlp.up_proj.bias", False),
             ("down_w", "mlp.down_proj.weight", True), ("down_b", "mlp.down_proj.bias", False),
+            ("fc1_w", "mlp.fc1.weight", True), ("fc1_b", "mlp.fc1.bias", False),
+            ("fc2_w", "mlp.fc2.weight", True), ("fc2_b", "mlp.fc2.bias", False),
         ]
         for i in range(v.depth):
             for key, hf_name, transpose in vmap:
+                if key not in vis["blocks"]:   # variant-specific tensors
+                    continue
                 yield f"visual.blocks.{i}.{hf_name}", _np(vis["blocks"][key][i], transpose)
 
 

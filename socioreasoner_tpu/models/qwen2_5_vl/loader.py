@@ -83,6 +83,10 @@ def load_params(config: Qwen25VLConfig, tensors: Iterator[Tuple[str, np.ndarray]
         "mlp.gate_proj.weight": ("gate_w", True), "mlp.gate_proj.bias": ("gate_b", False),
         "mlp.up_proj.weight": ("up_w", True), "mlp.up_proj.bias": ("up_b", False),
         "mlp.down_proj.weight": ("down_w", True), "mlp.down_proj.bias": ("down_b", False),
+        # qwen2_vl variant: LayerNorm biases + fc1/fc2 MLP
+        "norm1.bias": ("norm1_b", False), "norm2.bias": ("norm2_b", False),
+        "mlp.fc1.weight": ("fc1_w", True), "mlp.fc1.bias": ("fc1_b", False),
+        "mlp.fc2.weight": ("fc2_w", True), "mlp.fc2.bias": ("fc2_b", False),
     }
 
     def put_layer(store, layer_idx, key, arr, transpose):
@@ -132,6 +136,8 @@ def load_params(config: Qwen25VLConfig, tensors: Iterator[Tuple[str, np.ndarray]
                 vision["patch_embed_w"] = arr.reshape(arr.shape[0], -1).T
             elif rest == "merger.ln_q.weight":
                 vision["merger_ln_q"] = arr
+            elif rest == "merger.ln_q.bias":   # qwen2_vl LayerNorm merger
+                vision["merger_ln_q_b"] = arr
             elif rest == "merger.mlp.0.weight":
                 vision["merger_fc1_w"] = arr.T
             elif rest == "merger.mlp.0.bias":

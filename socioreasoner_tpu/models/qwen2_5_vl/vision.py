@@ -25,9 +25,15 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...ops.attention import dense_attention
-from ...ops.norms import rms_norm, swiglu
+from ...ops.norms import layer_norm, quick_gelu, rms_norm, swiglu
 from .config import VisionConfig
 from . import rope as rope_mod
+
+
+def _norm(cfg: VisionConfig, x, p, key):
+    if cfg.variant == "qwen2":     # LayerNorm with bias
+        return layer_norm(x, p[key], p[key + "_b"], cfg.rms_norm_eps)
+    return rms_norm(x, p[key], cfg.rms_norm_eps)
 
 
 def vision_block(cfg: VisionConfig, p: Dict, x: jnp.ndarray, cos: jnp.ndarray,
@@ -36,7 +42,7 @@ def vision_block(cfg: VisionConfig, p: Dict, x: jnp.ndarray, cos: jnp.ndarray,
     """One ViT block. x: (S, hidden); seg: (S,) attention segment ids."""
     S = x.shape[0]
     H, D = cfg.num_heads, cfg.head_dim
-    h = rms_norm(x, p["norm1"], cfg.rms_norm_eps)
+    h = _norm(cfg, x, p, "norm1")
     qkv = h @ p["qkv_w"] + p["qkv_b"]                    # (S, 3*hidden)
     q, k, v = jnp.split(qkv.reshape(S, 3, H, D), 3, axis=1)
     q, k, v = q[:, 0], k[:, 0], v[:, 0]                  # (S, H, D)
@@ -52,9 +58,13 @@ def vision_block(cfg: VisionConfig, p: Dict, x: jnp.ndarray, cos: jnp.ndarray,
         attn = dense_attention(q[None], k[None], v[None],
                                segment_ids_q=seg[None], segment_ids_kv=seg[None])[0]
     x = x + (attn.reshape(S, H * D) @ p["proj_w"] + p["proj_b"])
-    h2 = rms_norm(x, p["norm2"], cfg.rms_norm_eps)
-    x = x + swiglu(h2, p["gate_w"], p["up_w"], p["down_w"],
-                   p["gate_b"], p["up_b"], p["down_b"])
+    h2 = _norm(cfg, x, p, "norm2")
+    if cfg.variant == "qwen2":     # fc1 → quick-GELU → fc2
+        x = x + ((quick_gelu(h2 @ p["fc1_w"] + p["fc1_b"]))
+                 @ p["fc2_w"] + p["fc2_b"])
+    else:
+        x = x + swiglu(h2, p["gate_w"], p["up_w"], p["down_w"],
+                       p["gate_b"], p["up_b"], p["down_b"])
     return x
 
 
@@ -80,8 +90,12 @@ def vision_tower(
 
     x, _ = jax.lax.scan(body, x, (params["blocks"], is_full_layer))
 
-    # merger: RMSNorm then merge spatial_merge_unit patches → MLP
-    h = rms_norm(x, params["merger_ln_q"], cfg.rms_norm_eps)
+    # merger: norm then merge spatial_merge_unit patches → MLP
+    if cfg.variant == "qwen2":
+        h = layer_norm(x, params["merger_ln_q"], params["merger_ln_q_b"],
+                       cfg.rms_norm_eps)
+    else:
+        h = rms_norm(x, params["merger_ln_q"], cfg.rms_norm_eps)
     h = h.reshape(-1, cfg.spatial_merge_unit * cfg.hidden_size)
     h = h @ params["merger_fc1_w"] + params["merger_fc1_b"]
     h = jax.nn.gelu(h, approximate=False)

@@ -51,16 +51,32 @@ def embed_boxes(cfg: PromptEncoderConfig, p: Dict, boxes: jnp.ndarray) -> jnp.nd
     return jnp.concatenate([emb, pad], axis=2)
 
 
+def embed_masks(cfg: PromptEncoderConfig, p: Dict, masks: jnp.ndarray
+                ) -> jnp.ndarray:
+    """Mask prompt → dense embedding (ref Sam2MaskEmbedding): masks
+    (B, Hm, Wm, 1) at mask_input_size (4× the embedding grid) through
+    conv2×2/s2 → LN(channels) → GELU → conv2×2/s2 → LN → GELU → conv1×1.
+    NHWC layout: the channels-first LayerNorm becomes a last-axis norm."""
+    x = conv2d(masks, p["mask_conv1_w"], p["mask_conv1_b"], stride=(2, 2))
+    x = layer_norm(x, p["mask_ln1_w"], p["mask_ln1_b"], cfg.layer_norm_eps)
+    x = jax.nn.gelu(x, approximate=False)
+    x = conv2d(x, p["mask_conv2_w"], p["mask_conv2_b"], stride=(2, 2))
+    x = layer_norm(x, p["mask_ln2_w"], p["mask_ln2_b"], cfg.layer_norm_eps)
+    x = jax.nn.gelu(x, approximate=False)
+    return conv2d(x, p["mask_conv3_w"], p["mask_conv3_b"])
+
+
 def encode_prompts(cfg: PromptEncoderConfig, p: Dict,
                    points: Optional[jnp.ndarray], labels: Optional[jnp.ndarray],
                    boxes: Optional[jnp.ndarray], batch_size: int,
-                   image_embedding_size: Tuple[int, int]
+                   image_embedding_size: Tuple[int, int],
+                   input_masks: Optional[jnp.ndarray] = None
                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns sparse (B, K, T, hidden) and dense (B, h, w, hidden) embeddings.
 
     Ref Sam2PromptEncoder.forward: points padded with one (0,0)/-1 point when no
-    boxes; boxes appended after points; dense = no-mask embedding (mask prompts
-    unused by the SocioSeg pipeline).
+    boxes; boxes appended after points; dense = mask embedding when a mask
+    prompt (B, Hm, Wm, 1) is given, else the learned no-mask embedding.
     """
     sparse = None
     if points is not None:
@@ -74,8 +90,11 @@ def encode_prompts(cfg: PromptEncoderConfig, p: Dict,
         box_emb = embed_boxes(cfg, p, boxes)
         sparse = box_emb if sparse is None else jnp.concatenate([sparse, box_emb], axis=2)
     h, w = image_embedding_size
-    dense = jnp.broadcast_to(p["no_mask"][None, None, None, :],
-                             (batch_size, h, w, p["no_mask"].shape[0]))
+    if input_masks is not None:
+        dense = embed_masks(cfg, p, input_masks)
+    else:
+        dense = jnp.broadcast_to(p["no_mask"][None, None, None, :],
+                                 (batch_size, h, w, p["no_mask"].shape[0]))
     return sparse, dense
 
 

@@ -116,6 +116,18 @@ def load_params(config: Sam2Config, tensors: Iterator[Tuple[str, np.ndarray]],
             _set(params, ["prompt", "not_a_point"], arr[0])
         elif name == "prompt_encoder.no_mask_embed.weight":
             _set(params, ["prompt", "no_mask"], arr[0])
+        elif name.startswith("prompt_encoder.mask_embed."):
+            rest = name[len("prompt_encoder.mask_embed."):]
+            mask_map = {
+                "conv1.weight": ("mask_conv1_w", True), "conv1.bias": ("mask_conv1_b", False),
+                "conv2.weight": ("mask_conv2_w", True), "conv2.bias": ("mask_conv2_b", False),
+                "conv3.weight": ("mask_conv3_w", True), "conv3.bias": ("mask_conv3_b", False),
+                "layer_norm1.weight": ("mask_ln1_w", False), "layer_norm1.bias": ("mask_ln1_b", False),
+                "layer_norm2.weight": ("mask_ln2_w", False), "layer_norm2.bias": ("mask_ln2_b", False),
+            }
+            if rest in mask_map:
+                key, is_conv = mask_map[rest]
+                _set(params, ["prompt", key], conv_hwio(arr) if is_conv else arr)
         # ---------------- mask decoder
         elif name.startswith("mask_decoder."):
             rest = name[len("mask_decoder."):]

@@ -54,13 +54,14 @@ def predict_masks(
     labels: Optional[jnp.ndarray],        # (B, K, N)
     boxes: Optional[jnp.ndarray],         # (B, K, 4)
     multimask_output: bool = True,
+    input_masks: Optional[jnp.ndarray] = None,   # (B, Hm, Wm, 1) mask prompt
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (low-res mask logits (B, K, M, h4, w4), iou scores (B, K, M))."""
     s0, s1, low = image_embeddings
     B = low.shape[0]
     sparse, dense = encode_prompts(
         config.prompt, params["prompt"], points, labels, boxes, B,
-        (low.shape[1], low.shape[2]))
+        (low.shape[1], low.shape[2]), input_masks=input_masks)
     img = low + dense
     masks, iou, _ = mask_decoder_forward(
         config.decoder, params["decoder"], img, image_pe, sparse,
@@ -109,14 +110,21 @@ class Sam2Predictor:
 
     # ----------------------------------------------------------------- predict
     def predict(self, point_coords=None, point_labels=None, box=None,
-                multimask_output: bool = True):
+                multimask_output: bool = True, mask_input=None):
         """Single-object predict (reference-compatible): coords in ORIGINAL image
-        pixels. Returns (masks (M, H, W) bool at original size, scores (M,), low-res)."""
+        pixels; mask_input an (Hm, Wm) / (1, Hm, Wm) low-res logit mask at
+        mask_input_size (a prior predict's low-res output). Returns
+        (masks (M, H, W) bool at original size, scores (M,), low-res)."""
         assert self._embeddings is not None, "call set_image first"
         S = self.config.image_size
         oh, ow = self._orig_size
         sx, sy = S / ow, S / oh
         pts = lbls = boxes = None
+        in_masks = None
+        if mask_input is not None:
+            m = np.asarray(mask_input, np.float32)
+            hm, wm = self.config.prompt.mask_input_size
+            in_masks = jnp.asarray(m.reshape(1, hm, wm, 1))
         if point_coords is not None:
             p = np.asarray(point_coords, np.float32).reshape(1, 1, -1, 2).copy()
             p[..., 0] *= sx
@@ -132,6 +140,7 @@ class Sam2Predictor:
             boxes = jnp.asarray(b)
         masks, iou = self._predict(self.params, self._embeddings,
                                    self.image_pe, pts, lbls, boxes,
+                                   input_masks=in_masks,
                                    multimask_output=multimask_output)
         logits = masks[0, 0]                              # (M, h4, w4)
         up = jax.image.resize(logits, (logits.shape[0], oh, ow), method="linear")
@@ -340,11 +349,19 @@ def init_params(config: Sam2Config, key: jax.Array, dtype=jnp.float32) -> Dict:
                           dc.iou_head_depth),
         "obj_head": ffn_n(C, C, 1, 3),
     }
+    mic = pc.mask_input_channels
     prompt = {
         "pe_matrix": dense((2, pc.hidden_size // 2), scale=1.0),
         "point_embed": dense((pc.num_point_embeddings, pc.hidden_size)),
         "not_a_point": dense((pc.hidden_size,)),
         "no_mask": dense((pc.hidden_size,)),
+        # mask-prompt downscaler (ref Sam2MaskEmbedding)
+        "mask_conv1_w": dense((2, 2, 1, mic // 4)), "mask_conv1_b": zeros((mic // 4,)),
+        "mask_ln1_w": ones((mic // 4,)), "mask_ln1_b": zeros((mic // 4,)),
+        "mask_conv2_w": dense((2, 2, mic // 4, mic)), "mask_conv2_b": zeros((mic,)),
+        "mask_ln2_w": ones((mic,)), "mask_ln2_b": zeros((mic,)),
+        "mask_conv3_w": dense((1, 1, mic, pc.hidden_size)),
+        "mask_conv3_b": zeros((pc.hidden_size,)),
     }
     return {
         "encoder": encoder, "decoder": decoder, "prompt": prompt,

@@ -79,7 +79,8 @@ def test_vision_encoder_parity(hf_sam2, jax_sam2, pixels):
         np.testing.assert_allclose(got_nchw, want, atol=1e-6, rtol=1e-5)
 
 
-def _full_outputs(hf_sam2, jax_sam2, pixels, *, boxes=None, points=None, labels=None):
+def _full_outputs(hf_sam2, jax_sam2, pixels, *, boxes=None, points=None, labels=None,
+                  mask=None):
     config, params = jax_sam2
     kwargs = {}
     if boxes is not None:
@@ -87,6 +88,8 @@ def _full_outputs(hf_sam2, jax_sam2, pixels, *, boxes=None, points=None, labels=
     if points is not None:
         kwargs["input_points"] = torch.tensor(points, dtype=torch.float64)
         kwargs["input_labels"] = torch.tensor(labels)
+    if mask is not None:
+        kwargs["input_masks"] = torch.tensor(mask, dtype=torch.float64)
     with torch.no_grad():
         out = hf_sam2(pixel_values=torch.tensor(pixels), multimask_output=True, **kwargs)
     grid = (128 // 4, 128 // 4)
@@ -101,7 +104,9 @@ def _full_outputs(hf_sam2, jax_sam2, pixels, *, boxes=None, points=None, labels=
         jnp.asarray(points) if points is not None else None,
         jnp.asarray(labels) if labels is not None else None,
         jnp.asarray(boxes) if boxes is not None else None,
-        multimask_output=True)
+        multimask_output=True,
+        input_masks=(jnp.asarray(mask.transpose(0, 2, 3, 1))
+                     if mask is not None else None))
     return out, np.array(masks), np.array(iou)
 
 
@@ -119,6 +124,19 @@ def test_point_prompt_parity(hf_sam2, jax_sam2, pixels):
     labels = np.array([[[1, 1]]])
     out, masks, iou = _full_outputs(hf_sam2, jax_sam2, pixels,
                                     points=points, labels=labels)
+    np.testing.assert_allclose(masks, out.pred_masks.numpy(), atol=1e-7, rtol=1e-5)
+    np.testing.assert_allclose(iou, out.iou_scores.numpy(), atol=1e-8, rtol=1e-6)
+
+
+def test_mask_prompt_parity(hf_sam2, jax_sam2, pixels):
+    """input_masks prompt (Sam2MaskEmbedding downscaler) matches HF exactly."""
+    rng = np.random.default_rng(7)
+    hm = 4 * 128 // 16                                 # mask_input_size for S=128
+    mask = rng.normal(size=(1, 1, hm, hm)).astype(np.float64)
+    points = np.array([[[[40.0, 50.0]]]])
+    labels = np.array([[[1]]])
+    out, masks, iou = _full_outputs(hf_sam2, jax_sam2, pixels,
+                                    points=points, labels=labels, mask=mask)
     np.testing.assert_allclose(masks, out.pred_masks.numpy(), atol=1e-7, rtol=1e-5)
     np.testing.assert_allclose(iou, out.iou_scores.numpy(), atol=1e-8, rtol=1e-6)
 
