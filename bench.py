@@ -64,22 +64,30 @@ def main():
     # H20 anchor: same MFU on 148 TFLOP/s dense bf16
     h20_tokens_per_s = 0.4 * 148e12 / flops_per_tok
 
-    # ---- decode throughput: engine chunked loop, 8 concurrent slots
+    # ---- decode throughput: engine chunked loop (paged pallas attention),
+    # at the RL rollout concurrency (8) and the serving concurrency (24,
+    # the example configs' infer_batch_size)
     from socioreasoner_tpu.generation.engine import DecodeEngine, Request
     from socioreasoner_tpu.generation.sampling import SamplingParams
-    engine = DecodeEngine(config, params, max_slots=8, max_len=1536,
-                          decode_chunk=32, prefill_buckets=(512,))
-    sp = SamplingParams(temperature=1.0, top_p=0.9, top_k=50, max_new_tokens=256)
-    reqs = [Request(request_id=i,
-                    prompt_ids=rng.integers(10, 100000, size=400).tolist(),
-                    sampling=sp) for i in range(8)]
-    engine.generate([Request(request_id="warm", prompt_ids=reqs[0].prompt_ids,
-                             sampling=SamplingParams(max_new_tokens=33))])
-    t0 = time.perf_counter()
-    outs = engine.generate(reqs)
-    dt_decode = time.perf_counter() - t0
-    decode_tokens = sum(len(o.output_ids) for o in outs)
-    decode_tps = decode_tokens / dt_decode
+
+    def decode_tps(slots, max_new):
+        engine = DecodeEngine(config, params, max_slots=slots, max_len=1536,
+                              decode_chunk=32, prefill_buckets=(512,))
+        sp = SamplingParams(temperature=1.0, top_p=0.9, top_k=50,
+                            max_new_tokens=max_new)
+        reqs = [Request(request_id=i,
+                        prompt_ids=rng.integers(10, 100000, size=400).tolist(),
+                        sampling=sp) for i in range(slots)]
+        engine.generate([Request(request_id="warm", prompt_ids=reqs[0].prompt_ids,
+                                 sampling=SamplingParams(max_new_tokens=33))])
+        t0 = time.perf_counter()
+        outs = engine.generate(reqs)
+        dt = time.perf_counter() - t0
+        toks = sum(len(o.output_ids) for o in outs)
+        return toks, toks / dt
+
+    decode_tokens, tps8 = decode_tps(8, 256)
+    _, tps24 = decode_tps(24, 128)
 
     print(json.dumps({
         "metric": "qwen25vl3b_prefill_tokens_per_s_per_chip",
@@ -88,7 +96,8 @@ def main():
         "vs_baseline": round(tokens_per_s / h20_tokens_per_s, 3),
         "detail": {"batch": B, "seq": L, "dtype": "bfloat16",
                    "mfu_est": round(mfu, 3), "ms_per_iter": round(dt * 1e3, 2),
-                   "decode_tokens_per_s_8slots": round(decode_tps, 1),
+                   "decode_tokens_per_s_8slots": round(tps8, 1),
+                   "decode_tokens_per_s_24slots": round(tps24, 1),
                    "decode_tokens": decode_tokens,
                    "device": str(jax.devices()[0])},
     }))
