@@ -86,8 +86,9 @@ class DecodeEngine:
         L, Hkv, D = t.num_hidden_layers, t.num_key_value_heads, t.head_dim
 
         # decode_chunk slack: a chunk may overshoot max_len before the host
-        # notices; keep scatters in bounds
-        self.Lalloc = max_len + decode_chunk
+        # notices; keep scatters in bounds. Rounded up to 256 so the paged
+        # kernel's DMA blocks never cross the cache end (ops/decode_attention).
+        self.Lalloc = -(-(max_len + decode_chunk) // 256) * 256
         if kv_quant not in (None, "int8"):
             raise ValueError(f"kv_quant must be None or 'int8', got {kv_quant!r}")
         self.kv_quant = kv_quant

@@ -31,6 +31,10 @@ class SamplingParams:
                    do_sample=do_sample)
 
 
+MAX_CANDIDATES = 256   # sampling candidate pool (a full-vocab sort per decode
+# step dominates the decode loop on TPU; lax.top_k over 256 candidates is ~free)
+
+
 def sample_tokens(
     logits: jnp.ndarray,          # (B, V) float
     key: jax.Array,               # single PRNG key (split internally)
@@ -38,29 +42,34 @@ def sample_tokens(
     top_p: jnp.ndarray,           # (B,)
     top_k: jnp.ndarray,           # (B,) int32 — 0 → disabled
 ) -> jnp.ndarray:
-    """Returns (B,) sampled token ids. Greedy where temperature <= 0."""
+    """Returns (B,) sampled token ids. Greedy where temperature <= 0.
+
+    Sampling happens within the MAX_CANDIDATES most likely tokens: exact for
+    top_k <= 256; for nucleus sampling the cumulative mass is computed against
+    the FULL softmax (logsumexp over V), so the nucleus matches HF semantics
+    whenever it fits in the candidate pool (it essentially always does — the
+    tail mass beyond the top-256 of a trained LM is negligible)."""
     B, V = logits.shape
     logits = logits.astype(jnp.float32)
     greedy = jnp.argmax(logits, axis=-1)
 
     scaled = logits / jnp.maximum(temperature, 1e-5)[:, None]
+    K = min(MAX_CANDIDATES, V)
+    vals, idx = jax.lax.top_k(scaled, K)                        # (B, K) descending
 
-    # top-k mask: keep the k largest (k==0 → keep all)
-    sorted_desc = jnp.sort(scaled, axis=-1)[:, ::-1]            # (B, V) descending
-    k_idx = jnp.clip(top_k - 1, 0, V - 1)
-    kth_val = jnp.take_along_axis(sorted_desc, k_idx[:, None], axis=-1)  # (B,1)
-    topk_mask = jnp.where(top_k[:, None] > 0, scaled >= kth_val, True)
+    # top-k mask within candidates: position j kept iff j < k (k==0 → keep all)
+    pos = jnp.arange(K)[None, :]
+    topk_mask = jnp.where(top_k[:, None] > 0,
+                          pos < jnp.minimum(top_k, K)[:, None], True)
 
-    # top-p (nucleus): keep smallest prefix of sorted probs with cumsum < p,
-    # always keeping the top token
-    probs_sorted = jax.nn.softmax(sorted_desc, axis=-1)
-    cum = jnp.cumsum(probs_sorted, axis=-1)
-    cutoff_sorted = (cum - probs_sorted) < top_p[:, None]       # keep while mass before < p
-    # map back: token kept iff its prob >= prob of last kept sorted position
-    last_kept = jnp.sum(cutoff_sorted, axis=-1) - 1             # (B,)
-    thresh = jnp.take_along_axis(sorted_desc, jnp.clip(last_kept, 0, V - 1)[:, None], axis=-1)
-    topp_mask = scaled >= thresh
+    # top-p (nucleus): keep smallest prefix with cumulative FULL-softmax mass
+    # before it < p, always keeping the top token
+    lse = jax.scipy.special.logsumexp(scaled, axis=-1, keepdims=True)
+    probs = jnp.exp(vals - lse)                                 # true probs (B, K)
+    cum = jnp.cumsum(probs, axis=-1)
+    topp_mask = (cum - probs) < top_p[:, None]
 
-    masked = jnp.where(topk_mask & topp_mask, scaled, -jnp.inf)
-    sampled = jax.random.categorical(key, masked, axis=-1)
+    masked = jnp.where(topk_mask & topp_mask, vals, -jnp.inf)
+    choice = jax.random.categorical(key, masked, axis=-1)       # (B,) in [0, K)
+    sampled = jnp.take_along_axis(idx, choice[:, None], axis=-1)[:, 0]
     return jnp.where(temperature <= 0, greedy, sampled)

@@ -10,6 +10,14 @@ dominant cost at SocioSeg's 4k prompt + 2k response lengths.
 Layout: q (S, H, D); k/v cache (S, Lmax, Hkv, D) stay in HBM (`pltpu.ANY`);
 per-slot lengths via scalar prefetch. GQA handled in-kernel: logits computed
 per KV-head group with the MXU.
+
+Slots are processed `group` at a time per grid step (TPU grid steps run
+sequentially on a core — per-slot grids serialize the whole batch, so DMAs of
+a group are issued together and the QK/PV matmuls batch over the group).
+
+Optional int8 quantized cache: values flattened to (S, Lmax, Hkv*D) (int8
+sublane packing forbids slicing the Hkv dim) with per-token-per-head f32
+scales stored (S, Hkv, Lmax) so scale DMA blocks stay lane-aligned.
 """
 
 from __future__ import annotations
@@ -27,97 +35,88 @@ NEG_INF = -1e30
 
 def _decode_kernel(len_ref, q_ref, k_hbm, v_hbm, *rest, block_k: int,
                    scale: float, n_heads: int, n_kv: int, head_dim: int,
-                   lmax: int, quantized: bool):
+                   group: int, quantized: bool):
     if quantized:
         ks_hbm, vs_hbm, o_ref = rest
     else:
         (o_ref,) = rest
-    slot = pl.program_id(0)
-    kv_len = len_ref[slot]
-    k_row = k_hbm.at[slot]
-    v_row = v_hbm.at[slot]
+    base = pl.program_id(0) * group
+    lens = [len_ref[base + i] for i in range(group)]
+    kv_len = lens[0]
+    for l in lens[1:]:
+        kv_len = jnp.maximum(kv_len, l)          # group runs to its max length
     nblocks = pl.cdiv(kv_len, block_k)
     rep = n_heads // n_kv
-    q = q_ref[:].astype(jnp.float32) * scale          # (H, D)
+    q = q_ref[:].astype(jnp.float32) * scale     # (G, H, D)
 
     def run(k_scratch, v_scratch, sem, ks_scratch=None, vs_scratch=None,
             ssem=None):
-        def get_copy(buf, hbm, j, s):
-            return pltpu.make_async_copy(
-                hbm.at[pl.ds(j * block_k, block_k)], buf.at[s], sem.at[s])
-
-        def get_scale_copy(buf, hbm, j, s):
-            # scales live as (Hkv, Lalloc) per slot — the block's lane dim is
-            # the 128-aligned block_k slice, keeping Mosaic DMA tiling legal
-            return pltpu.make_async_copy(
-                hbm.at[slot].at[:, pl.ds(j * block_k, block_k)],
-                buf.at[s], ssem.at[s])
+        def copies(j, s):
+            out = []
+            for i in range(group):
+                out.append(pltpu.make_async_copy(
+                    k_hbm.at[base + i].at[pl.ds(j * block_k, block_k)],
+                    k_scratch.at[s, i], sem.at[s, i, 0]))
+                out.append(pltpu.make_async_copy(
+                    v_hbm.at[base + i].at[pl.ds(j * block_k, block_k)],
+                    v_scratch.at[s, i], sem.at[s, i, 1]))
+                if quantized:
+                    # scales (S, Hkv, Lmax): lane dim = 128-aligned block slice
+                    out.append(pltpu.make_async_copy(
+                        ks_hbm.at[base + i].at[:, pl.ds(j * block_k, block_k)],
+                        ks_scratch.at[s, i], ssem.at[s, i, 0]))
+                    out.append(pltpu.make_async_copy(
+                        vs_hbm.at[base + i].at[:, pl.ds(j * block_k, block_k)],
+                        vs_scratch.at[s, i], ssem.at[s, i, 1]))
+            return out
 
         def start(j, s):
-            get_copy(k_scratch, k_row, j, s).start()
-            get_copy(v_scratch, v_row, j, s).start()
-            if quantized:
-                get_scale_copy(ks_scratch, ks_hbm, j, s).start()
-                get_scale_copy(vs_scratch, vs_hbm, j, s).start()
+            for c in copies(j, s):
+                c.start()
 
         def wait(j, s):
-            get_copy(k_scratch, k_row, j, s).wait()
-            get_copy(v_scratch, v_row, j, s).wait()
-            if quantized:
-                get_scale_copy(ks_scratch, ks_hbm, j, s).wait()
-                get_scale_copy(vs_scratch, vs_hbm, j, s).wait()
+            for c in copies(j, s):
+                c.wait()
 
-        # warm-up: first block
         start(0, 0)
 
-        def body(j, carry):
-            m_prev, l_prev, acc_prev = carry
-            s = j % 2
-            nxt = (j + 1) % 2
-
-            @pl.when(j + 1 < nblocks)
-            def _():
-                start(j + 1, nxt)
-
-            wait(j, s)
+        def slot_update(j, s, i, m_prev, l_prev, acc_prev):
+            """One slot's online-softmax block update (2-D ops only —
+            Mosaic-friendly; the group win is the batched DMA issue)."""
             if quantized:
-                # int8 cache is stored flattened (bk, Hkv*D): int8 sublane
-                # packing (4) forbids slicing a (Hkv=2, D) dim; per-group
-                # dequant uses 128-aligned static lane slices instead
-                k2 = k_scratch[s]                      # (bk, Hkv*D) int8
-                v2 = v_scratch[s]
-                ks = ks_scratch[s]                     # (Hkv, bk) f32
-                vs = vs_scratch[s]
+                k2 = k_scratch[s, i]                   # (bk, Hkv*D) int8
+                v2 = v_scratch[s, i]
+                ks = ks_scratch[s, i]                  # (Hkv, bk) f32
+                vs = vs_scratch[s, i]
 
                 def kv_group(g):
-                    kg = k2[:, g * head_dim:(g + 1) * head_dim].astype(
-                        jnp.float32) * ks[g][:, None]
-                    vg = v2[:, g * head_dim:(g + 1) * head_dim].astype(
-                        jnp.float32) * vs[g][:, None]
+                    sl = slice(g * head_dim, (g + 1) * head_dim)
+                    kg = k2[:, sl].astype(jnp.float32) * ks[g][:, None]
+                    vg = v2[:, sl].astype(jnp.float32) * vs[g][:, None]
                     return kg, vg
             else:
-                k = k_scratch[s].astype(jnp.float32)   # (bk, Hkv, D)
-                v = v_scratch[s].astype(jnp.float32)
+                k = k_scratch[s, i].astype(jnp.float32)   # (bk, Hkv, D)
+                v = v_scratch[s, i].astype(jnp.float32)
 
                 def kv_group(g):
                     return k[:, g, :], v[:, g, :]
 
-            # logits per kv group: (rep, D) @ (D, bk) for each kv head
             groups = [kv_group(g) for g in range(n_kv)]
             logits_list = []
             for g in range(n_kv):
-                qg = q[g * rep:(g + 1) * rep]          # static slice (Mosaic-safe)
-                kg = groups[g][0]                      # (bk, D)
+                qg = q[i, g * rep:(g + 1) * rep]       # (rep, D) static slice
                 logits_list.append(jax.lax.dot_general(
-                    qg, kg, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32))  # (rep, bk)
+                    qg, groups[g][0], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32))   # (rep, bk)
             s_mat = jnp.concatenate(logits_list, axis=0)   # (H, bk)
             col = j * block_k + jax.lax.broadcasted_iota(
                 jnp.int32, (n_heads, block_k), 1)
-            s_mat = jnp.where(col < kv_len, s_mat, NEG_INF)
+            s_mat = jnp.where(col < lens[i], s_mat, NEG_INF)
 
             m_new = jnp.maximum(m_prev, s_mat.max(axis=-1, keepdims=True))
-            p = jnp.exp(s_mat - m_new)
+            # a fully-masked block (slot shorter than the group max) keeps
+            # m_new == NEG_INF; exp(NEG_INF - NEG_INF) would be 1, not 0
+            p = jnp.where(s_mat > NEG_INF / 2, jnp.exp(s_mat - m_new), 0.0)
             corr = jnp.exp(m_prev - m_new)
             l_new = l_prev * corr + p.sum(axis=-1, keepdims=True)
             pv_list = []
@@ -126,33 +125,47 @@ def _decode_kernel(len_ref, q_ref, k_hbm, v_hbm, *rest, block_k: int,
                 pv_list.append(jax.lax.dot_general(
                     pg, groups[g][1], (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32))   # (rep, D)
-            pv = jnp.concatenate(pv_list, axis=0)
-            acc_new = acc_prev * corr + pv
-            return m_new, l_new, acc_new
+            pv = jnp.concatenate(pv_list, axis=0)          # (H, D)
+            return m_new, l_new, acc_prev * corr + pv
 
-        m0 = jnp.full((n_heads, 1), NEG_INF, jnp.float32)
-        l0 = jnp.zeros((n_heads, 1), jnp.float32)
-        acc0 = jnp.zeros((n_heads, head_dim), jnp.float32)
-        m, l, acc = jax.lax.fori_loop(0, nblocks, body, (m0, l0, acc0))
-        o_ref[:] = (acc / jnp.where(l == 0, 1.0, l)).astype(o_ref.dtype)
+        def body(j, carry):
+            s = j % 2
+            nxt = (j + 1) % 2
 
-    kv_block = (2, block_k, n_kv * head_dim) if quantized else \
-        (2, block_k, n_kv, head_dim)
+            @pl.when(j + 1 < nblocks)
+            def _():
+                start(j + 1, nxt)
+
+            wait(j, s)
+            return tuple(slot_update(j, s, i, *carry[i]) for i in range(group))
+
+        init = tuple((jnp.full((n_heads, 1), NEG_INF, jnp.float32),
+                      jnp.zeros((n_heads, 1), jnp.float32),
+                      jnp.zeros((n_heads, head_dim), jnp.float32))
+                     for _ in range(group))
+        final = jax.lax.fori_loop(0, nblocks, body, init)
+        for i in range(group):
+            _, l, acc = final[i]
+            o_ref[i] = (acc / jnp.where(l == 0, 1.0, l)).astype(o_ref.dtype)
+
+    kv_block = (2, group, block_k, n_kv * head_dim) if quantized else \
+        (2, group, block_k, n_kv, head_dim)
     scoped = dict(
         k_scratch=pltpu.VMEM(kv_block, k_hbm.dtype),
         v_scratch=pltpu.VMEM(kv_block, v_hbm.dtype),
-        sem=pltpu.SemaphoreType.DMA((2,)),
+        sem=pltpu.SemaphoreType.DMA((2, group, 2)),
     )
     if quantized:
         scoped.update(
-            ks_scratch=pltpu.VMEM((2, n_kv, block_k), jnp.float32),
-            vs_scratch=pltpu.VMEM((2, n_kv, block_k), jnp.float32),
-            ssem=pltpu.SemaphoreType.DMA((2,)),
+            ks_scratch=pltpu.VMEM((2, group, n_kv, block_k), jnp.float32),
+            vs_scratch=pltpu.VMEM((2, group, n_kv, block_k), jnp.float32),
+            ssem=pltpu.SemaphoreType.DMA((2, group, 2)),
         )
     pl.run_scoped(run, **scoped)
 
 
-@functools.partial(jax.jit, static_argnames=("block_k", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("block_k", "slot_group", "interpret"))
 def paged_decode_attention(
     q: jnp.ndarray,          # (S, H, D) one query token per slot
     k_cache: jnp.ndarray,    # (S, Lmax, Hkv, D) — bf16/f32, or int8 with scales
@@ -162,22 +175,37 @@ def paged_decode_attention(
     v_scale: jnp.ndarray = None,
     *,
     block_k: int = 256,
+    slot_group: int = 8,     # slots per grid step (grid steps serialize)
     interpret: bool = False,
 ) -> jnp.ndarray:
     S, H, D = q.shape
     Lmax, Hkv = k_cache.shape[1], k_cache.shape[2]
+    if Lmax % block_k:
+        # the last DMA block would read past the cache (and the int8 scale
+        # memref needs a 128-aligned lane dim) — allocate Lmax in block_k units
+        raise ValueError(f"cache length {Lmax} must be a multiple of "
+                         f"block_k={block_k}")
     quantized = k_scale is not None
     if quantized:
-        # flatten (Hkv, D) → (Hkv*D,): int8 sublane packing forbids slicing
-        # the Hkv dim in-kernel; trailing-dim merge is layout-free in XLA
         k_cache = k_cache.reshape(S, Lmax, Hkv * D)
         v_cache = v_cache.reshape(S, Lmax, Hkv * D)
+    G = min(slot_group, S)
+    pad = (-S) % G
+    if pad:                  # pad to a whole number of groups (length 0 → zeros)
+        q = jnp.pad(q, ((0, pad), (0, 0), (0, 0)))
+        k_cache = jnp.pad(k_cache, ((0, pad),) + ((0, 0),) * (k_cache.ndim - 1))
+        v_cache = jnp.pad(v_cache, ((0, pad),) + ((0, 0),) * (v_cache.ndim - 1))
+        lengths = jnp.pad(lengths, (0, pad))
+        if quantized:
+            k_scale = jnp.pad(k_scale, ((0, pad), (0, 0), (0, 0)))
+            v_scale = jnp.pad(v_scale, ((0, pad), (0, 0), (0, 0)))
+    Sp = S + pad
     scale = D ** -0.5
     kernel = functools.partial(
         _decode_kernel, block_k=block_k, scale=scale, n_heads=H, n_kv=Hkv,
-        head_dim=D, lmax=Lmax, quantized=quantized)
+        head_dim=D, group=G, quantized=quantized)
     in_specs = [
-        pl.BlockSpec((None, H, D), lambda s, *_: (s, 0, 0)),
+        pl.BlockSpec((G, H, D), lambda g, *_: (g, 0, 0)),
         pl.BlockSpec(memory_space=pltpu.ANY),   # k cache stays in HBM
         pl.BlockSpec(memory_space=pltpu.ANY),
     ]
@@ -188,16 +216,17 @@ def paged_decode_attention(
         args += [k_scale.astype(jnp.float32), v_scale.astype(jnp.float32)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(S,),
+        grid=(Sp // G,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((None, H, D), lambda s, *_: (s, 0, 0)),
+        out_specs=pl.BlockSpec((G, H, D), lambda g, *_: (g, 0, 0)),
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((S, H, D), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((Sp, H, D), q.dtype),
         interpret=interpret,
     )(*args)
+    return out[:S] if pad else out
 
 
 def quantize_kv(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:

@@ -26,6 +26,24 @@ def test_paged_decode_matches_dense():
     np.testing.assert_allclose(np.array(got), np.array(want), atol=2e-5, rtol=1e-4)
 
 
+def test_paged_decode_grouped_and_padded():
+    """Odd slot count + small slot_group: padding and per-slot masks inside a
+    group (group runs to its max length) stay exact."""
+    rng = np.random.default_rng(5)
+    S, Lmax, H, Hkv, D = 5, 256, 8, 2, 64
+    q = jnp.array(rng.normal(size=(S, H, D)).astype(np.float32))
+    k = jnp.array(rng.normal(size=(S, Lmax, Hkv, D)).astype(np.float32))
+    v = jnp.array(rng.normal(size=(S, Lmax, Hkv, D)).astype(np.float32))
+    lengths = jnp.array([3, 256, 0, 97, 64], jnp.int32)
+    kv_valid = (np.arange(Lmax)[None, :] < np.array(lengths)[:, None]).astype(np.int32)
+    want = np.array(dense_attention(q[:, None], k, v, causal=False,
+                                    attention_mask=jnp.asarray(kv_valid))[:, 0])
+    want[2] = 0.0   # empty slot → zeros
+    got = paged_decode_attention(q, k, v, lengths, block_k=64, slot_group=2,
+                                 interpret=True)
+    np.testing.assert_allclose(np.array(got), want, atol=2e-5, rtol=1e-4)
+
+
 def test_paged_decode_int8_matches_dequantized_dense():
     rng = np.random.default_rng(2)
     S, Lmax, H, Hkv, D = 4, 512, 16, 2, 64
