@@ -72,7 +72,7 @@ def main():
 
     def decode_tps(slots, max_new):
         engine = DecodeEngine(config, params, max_slots=slots, max_len=1536,
-                              decode_chunk=32, prefill_buckets=(512,))
+                              decode_chunk=64, prefill_buckets=(512,))
         sp = SamplingParams(temperature=1.0, top_p=0.9, top_k=50,
                             max_new_tokens=max_new)
         reqs = [Request(request_id=i,

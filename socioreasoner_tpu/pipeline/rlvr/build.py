@@ -73,7 +73,7 @@ def default_engine_kwargs(cfg: SocioSegConfig) -> Dict:
     kwargs = {
         "max_slots": cfg.actor_infer.infer_batch_size,
         "max_len": cfg.sequence_length,
-        "decode_chunk": 32,
+        "decode_chunk": 64,
         "prefill_buckets": (512, 1024, 2048, cfg.prompt_length),
         "image_buckets": (0, 512, 1024, 1536, 2048),
     }
