@@ -91,4 +91,26 @@ def create_tracker(track_with: str = "stdout", **kwargs) -> BaseTracker:
     if track_with == "multi":
         return MultiTracker(StdoutTracker(),
                             FileTracker(kwargs.get("log_dir", "./output/logs")))
+    if track_with in ("wandb", "swanlab"):
+        # interface parity with the reference backends (ref tracking.py:22-112);
+        # falls back to jsonl files when the package isn't installed
+        try:
+            mod = __import__(track_with)
+
+            class _ThirdPartyTracker(BaseTracker):
+                def __init__(self):
+                    self.run = mod.init(**{k: v for k, v in kwargs.items()
+                                           if k != "log_dir"})
+
+                def log(self, metrics, step):
+                    mod.log(dict(metrics), step=step)
+
+                def close(self):
+                    mod.finish()
+
+            return _ThirdPartyTracker()
+        except ImportError:
+            import warnings
+            warnings.warn(f"{track_with} is not installed; logging to files")
+            return FileTracker(kwargs.get("log_dir", f"./output/{track_with}"))
     raise ValueError(f"unknown tracker {track_with!r}")
