@@ -148,6 +148,100 @@ def decoder_layer(cfg: TextConfig, p: Dict, x, cos, sin, attention_mask, q_posit
     return x, new_cache, aux
 
 
+def _decoder_cached_unrolled(cfg: TextConfig, params: Dict, x, cos, sin,
+                             cache: Dict, cache_positions, use_flash: bool):
+    """Cache-mode decoder WITHOUT lax.scan over layers.
+
+    scan xs→ys buffers cannot alias, so scanning the stacked KV cache copies
+    the whole cache every decode step (~17% of the step at 1.5k Lalloc,
+    growing linearly with context). Here layers unroll in python and each
+    layer scatters its one-token K/V directly into the stacked (layers, B,
+    Lmax, …) buffers — XLA keeps the donated buffers in place — and the paged
+    kernel reads the stacked cache at a layer index (no slice copies).
+    """
+    B, L, _ = x.shape
+    H, Hkv, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    k_all, v_all = cache["k"], cache["v"]
+    quant = "k_scale" in cache
+    ks_all, vs_all = cache.get("k_scale"), cache.get("v_scale")
+    kv_valid = cache["kv_valid"]
+    lengths = jnp.sum(kv_valid, axis=-1).astype(jnp.int32)
+    bidx = jnp.arange(B)[:, None]
+    Lmax = k_all.shape[2]
+    kv_pos = jnp.broadcast_to(jnp.arange(Lmax)[None, :], (B, Lmax))
+    if quant:
+        from ...ops.decode_attention import dequantize_kv, quantize_kv
+    if use_flash and L > 1:
+        from ...ops.flash_attention import flash_attention
+    if use_flash and L == 1 and cfg.head_dim % 128 == 0:
+        from ...ops.decode_attention import paged_decode_attention
+
+    for i in range(cfg.num_hidden_layers):
+        p = {key: arr[i] for key, arr in params["layers"].items()}
+        h = rms_norm(x, p["input_ln"], cfg.rms_norm_eps)
+        q = (h @ p["q_w"] + p["q_b"]).reshape(B, L, H, D)
+        k = (h @ p["k_w"] + p["k_b"]).reshape(B, L, Hkv, D)
+        v = (h @ p["v_w"] + p["v_b"]).reshape(B, L, Hkv, D)
+        if cfg.use_qk_norm:
+            q = rms_norm(q, p["q_norm"], cfg.rms_norm_eps)
+            k = rms_norm(k, p["k_norm"], cfg.rms_norm_eps)
+        q, k = apply_rotary(q, k, cos, sin)
+
+        if quant:
+            kq, ksc = quantize_kv(k)
+            vq, vsc = quantize_kv(v)
+            k_all = k_all.at[i, bidx, cache_positions].set(kq)
+            v_all = v_all.at[i, bidx, cache_positions].set(vq)
+            ks_all = ks_all.at[i, bidx, :, cache_positions].set(ksc)
+            vs_all = vs_all.at[i, bidx, :, cache_positions].set(vsc)
+        else:
+            k_all = k_all.at[i, bidx, cache_positions].set(k.astype(k_all.dtype))
+            v_all = v_all.at[i, bidx, cache_positions].set(v.astype(v_all.dtype))
+
+        if use_flash and L > 1:
+            # prefill into a fresh cache: attention over the local sequence only
+            out = flash_attention(q, k, v, kv_valid[:, :L], causal=True)
+        elif use_flash and L == 1 and cfg.head_dim % 128 == 0:
+            if quant:
+                out = paged_decode_attention(q[:, 0], k_all, v_all, lengths,
+                                             ks_all, vs_all, layer=i)[:, None]
+            else:
+                out = paged_decode_attention(q[:, 0], k_all, v_all, lengths,
+                                             layer=i)[:, None]
+        else:
+            if quant:
+                kd = dequantize_kv(k_all[i], ks_all[i], q.dtype)
+                vd = dequantize_kv(v_all[i], vs_all[i], q.dtype)
+            else:
+                kd, vd = k_all[i].astype(q.dtype), v_all[i].astype(q.dtype)
+            out = dense_attention(q, kd, vd, causal=True,
+                                  attention_mask=kv_valid,
+                                  q_positions=cache_positions,
+                                  kv_positions=kv_pos)
+        x = x + out.reshape(B, L, H * D) @ p["o_w"]
+
+        h2 = rms_norm(x, p["post_ln"], cfg.rms_norm_eps)
+        if cfg.n_experts:
+            from ...ops.moe import moe_mlp
+            moe_out, _ = moe_mlp(
+                h2.reshape(B * L, -1),
+                {key: p[key] for key in ("router_w", "gate_w", "up_w", "down_w")},
+                cfg.n_experts_per_tok, cfg.norm_topk_prob)
+            moe_out = moe_out.reshape(B, L, -1).astype(x.dtype)
+            if cfg.shared_expert_intermediate:
+                shared = swiglu(h2, p["s_gate_w"], p["s_up_w"], p["s_down_w"])
+                moe_out = moe_out + jax.nn.sigmoid(h2 @ p["sgate_w"]) * shared
+            x = x + moe_out
+        else:
+            x = x + swiglu(h2, p["gate_w"], p["up_w"], p["down_w"])
+
+    new_cache = {"k": k_all, "v": v_all, "kv_valid": kv_valid}
+    if quant:
+        new_cache["k_scale"] = ks_all
+        new_cache["v_scale"] = vs_all
+    return x, new_cache
+
+
 def text_decoder(
     cfg: TextConfig,
     params: Dict,                      # {"layers": stacked pytree, "final_ln": ...}
@@ -180,29 +274,11 @@ def text_decoder(
         # MoE load-balance aux loss summed over layers (ref megatron_strategy
         # :398-407); empty dict for dense models keeps the cache API unchanged
         new_cache = {"moe_aux": jnp.sum(aux)} if cfg.n_experts else None
-    elif "k_scale" in cache:      # int8 KV cache with per-token dequant scales
-        def body(h, layer):
-            p, kc, vc, ks, vs = layer
-            h, (nk, nv, nks, nvs), _ = layer_fn(
-                cfg, p, h, cos, sin, None, q_positions,
-                cache_kv=(kc, vc), cache_positions=cache_positions,
-                kv_valid=cache["kv_valid"], cache_scales=(ks, vs))
-            return h, (nk, nv, nks, nvs)
-        x, (nk, nv, nks, nvs) = jax.lax.scan(
-            body, inputs_embeds,
-            (params["layers"], cache["k"], cache["v"],
-             cache["k_scale"], cache["v_scale"]))
-        new_cache = {"k": nk, "v": nv, "k_scale": nks, "v_scale": nvs,
-                     "kv_valid": cache["kv_valid"]}
     else:
-        def body(h, layer):
-            p, kc, vc = layer
-            h, (nk, nv), _ = layer_fn(cfg, p, h, cos, sin, None, q_positions,
-                                      cache_kv=(kc, vc), cache_positions=cache_positions,
-                                      kv_valid=cache["kv_valid"])
-            return h, (nk, nv)
-        x, (nk, nv) = jax.lax.scan(body, inputs_embeds,
-                                   (params["layers"], cache["k"], cache["v"]))
-        new_cache = {"k": nk, "v": nv, "kv_valid": cache["kv_valid"]}
+        # unrolled (no scan): keeps the stacked KV cache update in place —
+        # see _decoder_cached_unrolled
+        x, new_cache = _decoder_cached_unrolled(
+            cfg, params, inputs_embeds, cos, sin, cache, cache_positions,
+            use_flash)
 
     return rms_norm(x, params["final_ln"], cfg.rms_norm_eps), new_cache

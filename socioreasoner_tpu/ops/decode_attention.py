@@ -33,13 +33,25 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _decode_kernel(len_ref, q_ref, k_hbm, v_hbm, *rest, block_k: int,
+def _decode_kernel(len_ref, *rest, block_k: int,
                    scale: float, n_heads: int, n_kv: int, head_dim: int,
-                   group: int, quantized: bool):
+                   group: int, quantized: bool, stacked: bool):
+    if stacked:
+        # caches carry a leading layer dim; the layer index rides the second
+        # scalar-prefetch arg so one compiled kernel serves every layer
+        layer_ref, rest = rest[0], rest[1:]
+    q_ref, k_hbm, v_hbm, *rest = rest
     if quantized:
         ks_hbm, vs_hbm, o_ref = rest
     else:
         (o_ref,) = rest
+    if stacked:
+        lyr = layer_ref[0]
+        k_hbm = k_hbm.at[lyr]
+        v_hbm = v_hbm.at[lyr]
+        if quantized:
+            ks_hbm = ks_hbm.at[lyr]
+            vs_hbm = vs_hbm.at[lyr]
     base = pl.program_id(0) * group
     lens = [len_ref[base + i] for i in range(group)]
     kv_len = lens[0]
@@ -168,18 +180,23 @@ def _decode_kernel(len_ref, q_ref, k_hbm, v_hbm, *rest, block_k: int,
                    static_argnames=("block_k", "slot_group", "interpret"))
 def paged_decode_attention(
     q: jnp.ndarray,          # (S, H, D) one query token per slot
-    k_cache: jnp.ndarray,    # (S, Lmax, Hkv, D) — bf16/f32, or int8 with scales
+    k_cache: jnp.ndarray,    # (S, Lmax, Hkv, D) — bf16/f32, or int8 with scales;
+    #                          or ([layers,] S, Lmax, Hkv, D) with `layer` given
     v_cache: jnp.ndarray,
     lengths: jnp.ndarray,    # (S,) valid KV length per slot (incl. current tok)
     k_scale: jnp.ndarray = None,   # (S, Hkv, Lmax) f32 per-token dequant scales
     v_scale: jnp.ndarray = None,
     *,
+    layer: jnp.ndarray = None,     # scalar layer index into a STACKED cache —
+    #   lets the decode loop keep one (layers, S, …) buffer and avoid per-layer
+    #   slice copies; one compiled kernel serves every layer
     block_k: int = 256,
     slot_group: int = 8,     # slots per grid step (grid steps serialize)
     interpret: bool = False,
 ) -> jnp.ndarray:
     S, H, D = q.shape
-    Lmax, Hkv = k_cache.shape[1], k_cache.shape[2]
+    stacked = layer is not None
+    Lmax, Hkv = k_cache.shape[-3], k_cache.shape[-2]
     if Lmax % block_k:
         # the last DMA block would read past the cache (and the int8 scale
         # memref needs a 128-aligned lane dim) — allocate Lmax in block_k units
@@ -187,10 +204,16 @@ def paged_decode_attention(
                          f"block_k={block_k}")
     quantized = k_scale is not None
     if quantized:
-        k_cache = k_cache.reshape(S, Lmax, Hkv * D)
-        v_cache = v_cache.reshape(S, Lmax, Hkv * D)
-    G = min(slot_group, S)
-    pad = (-S) % G
+        k_cache = k_cache.reshape(k_cache.shape[:-2] + (Hkv * D,))
+        v_cache = v_cache.reshape(v_cache.shape[:-2] + (Hkv * D,))
+    if stacked:
+        # never pad a stacked cache (that would copy it) — shrink the group
+        # to a divisor of S instead
+        G = max(g for g in range(1, min(slot_group, S) + 1) if S % g == 0)
+        pad = 0
+    else:
+        G = min(slot_group, S)
+        pad = (-S) % G
     if pad:                  # pad to a whole number of groups (length 0 → zeros)
         q = jnp.pad(q, ((0, pad), (0, 0), (0, 0)))
         k_cache = jnp.pad(k_cache, ((0, pad),) + ((0, 0),) * (k_cache.ndim - 1))
@@ -203,19 +226,22 @@ def paged_decode_attention(
     scale = D ** -0.5
     kernel = functools.partial(
         _decode_kernel, block_k=block_k, scale=scale, n_heads=H, n_kv=Hkv,
-        head_dim=D, group=G, quantized=quantized)
+        head_dim=D, group=G, quantized=quantized, stacked=stacked)
     in_specs = [
         pl.BlockSpec((G, H, D), lambda g, *_: (g, 0, 0)),
         pl.BlockSpec(memory_space=pltpu.ANY),   # k cache stays in HBM
         pl.BlockSpec(memory_space=pltpu.ANY),
     ]
-    args = [lengths.astype(jnp.int32), q, k_cache, v_cache]
+    args = [lengths.astype(jnp.int32)]
+    if stacked:
+        args.append(jnp.asarray(layer, jnp.int32).reshape(1))
+    args += [q, k_cache, v_cache]
     if quantized:
         in_specs += [pl.BlockSpec(memory_space=pltpu.ANY),
                      pl.BlockSpec(memory_space=pltpu.ANY)]
         args += [k_scale.astype(jnp.float32), v_scale.astype(jnp.float32)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2 if stacked else 1,
         grid=(Sp // G,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((G, H, D), lambda g, *_: (g, 0, 0)),
