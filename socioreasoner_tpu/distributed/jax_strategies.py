@@ -198,7 +198,18 @@ class JaxDecodeStrategy(InferenceStrategy):
                                    **self.engine_kwargs)
 
     def model_update(self, *args, **kwargs):
-        """Pick up the latest rollout weights (pointer swap; cache is rebuilt)."""
+        """Pick up the latest rollout weights (pointer swap).
+
+        Safe only while the engine is idle: in-flight slots hold KV computed
+        with the old params, so swapping mid-decode would mix weight versions
+        within one sequence. Pipelines drain the engine between steps (ref
+        model_update happens between rollout phases); assert that here."""
+        if self.engine.has_work():
+            raise RuntimeError(
+                "model_update while the decode engine has in-flight or waiting "
+                f"requests ({self.engine.num_running()} running, "
+                f"{self.engine.num_waiting()} waiting); drain/stop generation "
+                "before swapping weights")
         self.engine.params = self.param_store.get("rollout")
 
     # ------------------------------------------------------------- batch mode

@@ -64,7 +64,7 @@ class EngineOutput:
     request_id: Any
     prompt_ids: List[int]
     output_ids: List[int]
-    finish_reason: str                  # "stop" | "length" | "abort"
+    finish_reason: str                  # "stop" | "length" | "abort" | "error"
     meta: Optional[Dict] = None
 
 
@@ -153,11 +153,28 @@ class DecodeEngine:
         return len(self.slot_req)
 
     def step(self) -> List[EngineOutput]:
-        """Admit waiting requests, decode one chunk, return finished outputs."""
+        """Admit waiting requests, decode one chunk, return finished outputs.
+
+        Per-request admission errors (e.g. prompt longer than the largest
+        prefill bucket) finish that request with finish_reason="error" and the
+        callback fired, instead of killing the caller — pending requests in a
+        server loop must keep flowing (ref vllm server-mode resilience)."""
         outputs: List[EngineOutput] = []
         while self.waiting and self.free_slots:
             req = self.waiting.pop(0)
-            self._admit(req, outputs)
+            try:
+                self._admit(req, outputs)
+            except Exception as e:  # noqa: BLE001 — isolate bad requests
+                if req.slot >= 0 and req.slot in self.slot_req:
+                    self._release(req.slot)
+                req.finished = True
+                meta = dict(req.meta or {})
+                meta["error"] = f"{type(e).__name__}: {e}"
+                out = EngineOutput(req.request_id, req.prompt_ids,
+                                   req.output_ids, "error", meta)
+                outputs.append(out)
+                if req.callback is not None:
+                    req.callback(out)
         if self.slot_req:
             outputs.extend(self._decode_chunk())
         return outputs
@@ -224,10 +241,16 @@ class DecodeEngine:
         req.output_ids.append(tok)
         self._maybe_finish(req, outputs)
 
+    def _stop_tokens(self, req: Request) -> frozenset:
+        base = getattr(self.config, "stop_set",
+                       frozenset((self.config.eos_token_id,)))
+        extra = getattr(req.sampling, "stop_token_ids", ()) or ()
+        return base | frozenset(int(t) for t in extra) if extra else base
+
     def _maybe_finish(self, req: Request, outputs: List[EngineOutput]):
         tok = req.output_ids[-1] if req.output_ids else None
         reason = None
-        if tok == self.config.eos_token_id:
+        if tok is not None and tok in self._stop_tokens(req):
             reason = "stop"
         elif len(req.output_ids) >= req.sampling.max_new_tokens:
             reason = "length"
@@ -268,9 +291,10 @@ class DecodeEngine:
         outputs: List[EngineOutput] = []
         for slot, req in list(self.slot_req.items()):
             emitted = toks[slot]
+            stop = self._stop_tokens(req)
             for t in emitted:
                 req.output_ids.append(int(t))
-                if (int(t) == self.config.eos_token_id
+                if (int(t) in stop
                         or len(req.output_ids) >= req.sampling.max_new_tokens):
                     break
             self.lengths[slot] = new_len[slot]

@@ -22,13 +22,17 @@ class SamplingParams:
     top_k: int = 0               # 0 = disabled
     max_new_tokens: int = 512
     do_sample: bool = True
+    # per-request stop tokens, unioned with the model config's stop set
+    # (ref vLLM SamplingParams.stop_token_ids)
+    stop_token_ids: tuple = ()
 
     @classmethod
     def from_generating_args(cls, args) -> "SamplingParams":
         do_sample = bool(getattr(args, "do_sample", True)) and args.temperature > 0
         return cls(temperature=max(args.temperature, 1e-5), top_p=args.top_p,
                    top_k=args.top_k, max_new_tokens=args.max_new_tokens,
-                   do_sample=do_sample)
+                   do_sample=do_sample,
+                   stop_token_ids=tuple(getattr(args, "stop_token_ids", ()) or ()))
 
 
 MAX_CANDIDATES = 256   # sampling candidate pool (a full-vocab sort per decode

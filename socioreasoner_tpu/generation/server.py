@@ -15,10 +15,14 @@ The server runs in a thread; responses flow through per-request callbacks.
 
 from __future__ import annotations
 
+import logging
 import queue
 import threading
 import time
+import traceback
 from typing import Any, Callable, Dict, Optional
+
+logger = logging.getLogger(__name__)
 
 from ..utils.functionals import GenerateRequestType
 from .engine import DecodeEngine, EngineOutput
@@ -63,7 +67,15 @@ class GenerateServer:
         self.command_queue.put((command, data))
 
     # -------------------------------------------------------------------- loop
+    MAX_CONSECUTIVE_ERRORS = 3
+
     def _loop(self):
+        """Per-request errors are handled inside engine.step (finish_reason=
+        "error" + callback); anything that still escapes is logged and the loop
+        continues, so one bad step can't silently strand pending requests. Only
+        repeated systemic failures kill the thread (the ALIVE_CHECK watchdog
+        then surfaces it, ref generate_scheduler.py:222-228)."""
+        consecutive_errors = 0
         try:
             while self._running:
                 self._alive_ts = time.time()
@@ -71,8 +83,19 @@ class GenerateServer:
                 if drained_stop:
                     break
                 if self.engine.has_work():
-                    with self._lock:
-                        self.engine.step()   # callbacks fire inside
+                    try:
+                        with self._lock:
+                            self.engine.step()   # callbacks fire inside
+                        consecutive_errors = 0
+                    except Exception:  # noqa: BLE001 — keep serving
+                        consecutive_errors += 1
+                        logger.error("generate server step failed (%d/%d):\n%s",
+                                     consecutive_errors,
+                                     self.MAX_CONSECUTIVE_ERRORS,
+                                     traceback.format_exc())
+                        if consecutive_errors >= self.MAX_CONSECUTIVE_ERRORS:
+                            raise
+                        time.sleep(0.05)
                 else:
                     time.sleep(self.idle_sleep)
         finally:

@@ -74,11 +74,21 @@ def config_from_hf_dict(cfg: dict) -> Qwen25VLConfig:
             "decoder_sparse_step != 1 / mlp_only_layers are not supported "
             "(all layers must be MoE)")
     # HF configs may carry explicit None for special tokens — `or` chains, not
-    # .get defaults
-    eos = cfg.get("eos_token_id") if isinstance(cfg.get("eos_token_id"), int) else 2
+    # .get defaults. eos_token_id may be a LIST (Llama-3.x: [128001, 128008,
+    # 128009]); the first element is the canonical eos, the rest are extra
+    # stop tokens for generation.
+    raw_eos = cfg.get("eos_token_id")
+    if isinstance(raw_eos, (list, tuple)) and raw_eos:
+        eos_list = [int(t) for t in raw_eos]
+    elif isinstance(raw_eos, int):
+        eos_list = [raw_eos]
+    else:
+        eos_list = [2]
+    eos = eos_list[0]
     return Qwen25VLConfig(text=text, vision=VisionConfig(),
                           bos_token_id=cfg.get("bos_token_id") or 1,
                           eos_token_id=eos,
+                          stop_token_ids=tuple(eos_list[1:]),
                           pad_token_id=cfg.get("pad_token_id") or eos)
 
 

@@ -80,6 +80,14 @@ class Qwen25VLConfig:
     bos_token_id: int = 151643
     eos_token_id: int = 151645
     pad_token_id: int = 151643
+    # extra stop tokens beyond eos_token_id (HF checkpoints may carry a
+    # list-valued eos_token_id, e.g. Llama-3's [128001, 128008, 128009];
+    # eos_token_id holds the first element, the rest land here)
+    stop_token_ids: Tuple[int, ...] = ()
+
+    @property
+    def stop_set(self) -> frozenset:
+        return frozenset((self.eos_token_id,) + tuple(self.stop_token_ids))
 
     @classmethod
     def tiny(cls, vocab_size: int = 512) -> "Qwen25VLConfig":
@@ -153,13 +161,17 @@ class Qwen25VLConfig:
             mrope_section=tuple((t.get("rope_scaling") or {}).get("mrope_section", (16, 24, 24))),
             tie_word_embeddings=cfg.get("tie_word_embeddings", t.get("tie_word_embeddings", True)),
         )
+        raw_eos = cfg.get("eos_token_id", 151645)
+        eos_list = ([int(t) for t in raw_eos]
+                    if isinstance(raw_eos, (list, tuple)) else [int(raw_eos)])
         return cls(
             vision=vision, text=text,
             image_token_id=cfg.get("image_token_id", 151655),
             video_token_id=cfg.get("video_token_id", 151656),
             vision_start_token_id=cfg.get("vision_start_token_id", 151652),
             bos_token_id=cfg.get("bos_token_id", 151643),
-            eos_token_id=cfg.get("eos_token_id", 151645),
+            eos_token_id=eos_list[0],
+            stop_token_ids=tuple(eos_list[1:]),
             pad_token_id=cfg.get("pad_token_id") or cfg.get("bos_token_id", 151643),
         )
 

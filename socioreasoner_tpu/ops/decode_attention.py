@@ -57,7 +57,10 @@ def _decode_kernel(len_ref, *rest, block_k: int,
     kv_len = lens[0]
     for l in lens[1:]:
         kv_len = jnp.maximum(kv_len, l)          # group runs to its max length
-    nblocks = pl.cdiv(kv_len, block_k)
+    # an all-zero-length group would give nblocks=0: the unconditional
+    # start(0, 0) below would leave un-waited DMAs at kernel exit. Clamp to 1 —
+    # the col<len mask zeroes every column, so the output is 0 either way.
+    nblocks = jnp.maximum(pl.cdiv(kv_len, block_k), 1)
     rep = n_heads // n_kv
     q = q_ref[:].astype(jnp.float32) * scale     # (G, H, D)
 

@@ -21,6 +21,55 @@ import numpy as np
 
 CODE_BLOCK_RE = re.compile(r"```(?:python|py)?\s*\n(.*?)```", re.DOTALL)
 
+# Resource caps for model-generated code (the reference's reliability_guard,
+# roll/utils/local_code/testing_util.py:624 sets RLIMIT_AS/DATA/STACK): without
+# them an RL rollout can OOM the trainer host; without a process-group kill a
+# timed-out solution can leave grandchildren running.
+MEM_LIMIT_BYTES = 2 * 1024 ** 3       # address-space / data cap
+STACK_LIMIT_BYTES = 64 * 1024 ** 2
+FSIZE_LIMIT_BYTES = 16 * 1024 ** 2    # no multi-GB output files
+NPROC_LIMIT = 64
+
+
+def _set_rlimits():
+    """preexec_fn for sandboxed runs — applies in the child before exec."""
+    import resource
+    for lim, val in (
+        (resource.RLIMIT_AS, MEM_LIMIT_BYTES),
+        (resource.RLIMIT_DATA, MEM_LIMIT_BYTES),
+        (resource.RLIMIT_STACK, STACK_LIMIT_BYTES),
+        (resource.RLIMIT_FSIZE, FSIZE_LIMIT_BYTES),
+        (resource.RLIMIT_NPROC, NPROC_LIMIT),
+        (resource.RLIMIT_CORE, 0),
+    ):
+        try:
+            resource.setrlimit(lim, (val, val))
+        except (ValueError, OSError):
+            pass  # container may already enforce a lower hard limit
+
+
+def _run_sandboxed(argv, *, input_bytes: bytes = b"", timeout: float, cwd: str
+                   ) -> Optional[subprocess.CompletedProcess]:
+    """subprocess.run with rlimits + its own session; on timeout the whole
+    process GROUP is killed so surviving grandchildren can't linger."""
+    import signal
+    proc = subprocess.Popen(
+        argv, stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE, cwd=cwd, start_new_session=True,
+        preexec_fn=_set_rlimits)
+    try:
+        out, err = proc.communicate(input=input_bytes, timeout=timeout)
+    except subprocess.TimeoutExpired:
+        try:
+            os.killpg(proc.pid, signal.SIGKILL)
+        except (ProcessLookupError, PermissionError):
+            pass
+        proc.wait()
+        return None
+    except OSError:
+        return None
+    return subprocess.CompletedProcess(argv, proc.returncode, out, err)
+
 
 def extract_code(text: str) -> Optional[str]:
     blocks = CODE_BLOCK_RE.findall(text)
@@ -38,13 +87,10 @@ def run_stdin_case(code: str, stdin: str, expected: str, timeout: float = 6.0
         path = os.path.join(td, "sol.py")
         with open(path, "w") as f:
             f.write(code)
-        try:
-            proc = subprocess.run(
-                [sys.executable, "-E", "-I", path], input=stdin.encode(),
-                capture_output=True, timeout=timeout, cwd=td)
-        except (subprocess.TimeoutExpired, OSError):
-            return False
-        if proc.returncode != 0:
+        proc = _run_sandboxed([sys.executable, "-E", "-I", path],
+                              input_bytes=stdin.encode(), timeout=timeout,
+                              cwd=td)
+        if proc is None or proc.returncode != 0:
             return False
         got = [l.rstrip() for l in proc.stdout.decode(errors="replace").strip().splitlines()]
         want = [l.rstrip() for l in expected.strip().splitlines()]
@@ -57,12 +103,9 @@ def run_assert_case(code: str, test_code: str, timeout: float = 6.0) -> bool:
         path = os.path.join(td, "sol.py")
         with open(path, "w") as f:
             f.write(code + "\n\n" + test_code + "\n")
-        try:
-            proc = subprocess.run([sys.executable, "-E", "-I", path],
-                                  capture_output=True, timeout=timeout, cwd=td)
-        except (subprocess.TimeoutExpired, OSError):
-            return False
-        return proc.returncode == 0
+        proc = _run_sandboxed([sys.executable, "-E", "-I", path],
+                              timeout=timeout, cwd=td)
+        return proc is not None and proc.returncode == 0
 
 
 def score_response(response: str, test_cases, timeout: float = 6.0) -> float:

@@ -148,3 +148,79 @@ def test_generate_server_contract(setup):
     assert ping["alive"]
     server.stop()
     assert not server.is_alive()
+
+
+def test_list_eos_token_id_configs():
+    """Llama-3-style list-valued eos_token_id must map to a stop SET, not a
+    silent eos=2 fallback (ref model families contract, llm.py)."""
+    from socioreasoner_tpu.models.llm import config_from_hf_dict
+    cfg = config_from_hf_dict({
+        "model_type": "llama", "vocab_size": 1024, "hidden_size": 64,
+        "intermediate_size": 128, "num_hidden_layers": 2,
+        "num_attention_heads": 4, "num_key_value_heads": 2,
+        "eos_token_id": [128001, 128008, 128009], "bos_token_id": 128000,
+    })
+    assert cfg.eos_token_id == 128001
+    assert cfg.stop_token_ids == (128008, 128009)
+    assert cfg.stop_set == frozenset({128001, 128008, 128009})
+    assert cfg.pad_token_id == 128001
+
+    vl = Qwen25VLConfig.from_hf_dict({"eos_token_id": [7, 9]})
+    assert vl.eos_token_id == 7 and vl.stop_token_ids == (9,)
+
+
+def test_engine_stops_on_any_stop_token(setup):
+    """Decode must stop on every member of the stop set (config-level extra
+    stop ids and per-request SamplingParams.stop_token_ids)."""
+    import dataclasses
+    config, params = setup
+    prompt = np.random.default_rng(3).integers(2, 200, size=5).tolist()
+
+    # discover the first two greedy tokens, then declare them stop tokens
+    base = DecodeEngine(config, params, max_slots=1, max_len=64, decode_chunk=2,
+                        prefill_buckets=(16,), cache_dtype=jnp.float32)
+    ref = base.generate([Request(request_id=0, prompt_ids=prompt,
+                                 sampling=greedy_params(6))])[0].output_ids
+    assert len(ref) >= 2
+
+    # config-level stop set
+    cfg2 = dataclasses.replace(config, stop_token_ids=(int(ref[1]),))
+    eng2 = DecodeEngine(cfg2, params, max_slots=1, max_len=64, decode_chunk=2,
+                        prefill_buckets=(16,), cache_dtype=jnp.float32)
+    out = eng2.generate([Request(request_id=0, prompt_ids=prompt,
+                                 sampling=greedy_params(6))])[0]
+    assert out.output_ids == ref[:2] and out.finish_reason == "stop"
+
+    # per-request stop set
+    sp = SamplingParams(temperature=0.0, do_sample=False, max_new_tokens=6,
+                        stop_token_ids=(int(ref[0]),))
+    eng3 = DecodeEngine(config, params, max_slots=1, max_len=64, decode_chunk=2,
+                        prefill_buckets=(16,), cache_dtype=jnp.float32)
+    out3 = eng3.generate([Request(request_id=0, prompt_ids=prompt, sampling=sp)])[0]
+    assert out3.output_ids == ref[:1] and out3.finish_reason == "stop"
+
+
+def test_engine_admission_error_isolated(setup):
+    """A prompt longer than the largest prefill bucket must finish with
+    finish_reason='error' (callback fired) without killing the step loop or
+    the other requests (ADVICE: server-thread resilience)."""
+    config, params = setup
+    engine = DecodeEngine(config, params, max_slots=2, max_len=64, decode_chunk=2,
+                          prefill_buckets=(16,), cache_dtype=jnp.float32)
+    rng = np.random.default_rng(5)
+    good = rng.integers(2, 200, size=6).tolist()
+    too_long = rng.integers(2, 200, size=40).tolist()   # > bucket 16
+    fired = []
+    reqs = [
+        Request(request_id="bad", prompt_ids=too_long, sampling=greedy_params(4),
+                callback=fired.append),
+        Request(request_id="good", prompt_ids=good, sampling=greedy_params(4)),
+    ]
+    outs = engine.generate(reqs)
+    by_id = {o.request_id: o for o in outs}
+    assert by_id["bad"].finish_reason == "error"
+    assert "error" in (by_id["bad"].meta or {})
+    assert len(fired) == 1 and fired[0].finish_reason == "error"
+    assert by_id["good"].finish_reason in ("stop", "length")
+    assert by_id["good"].output_ids == naive_greedy(config, params, good, 4)
+    assert not engine.has_work() and len(engine.free_slots) == engine.S
