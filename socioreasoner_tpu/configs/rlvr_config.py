@@ -113,6 +113,13 @@ class RLVRConfig(BaseConfig):
     error_max_len_clip: bool = False
     error_max_len_threshold: int = 9999999
 
+    # dynamic-sampling flow control (ref rlvr_config.py:104-114,
+    # generate_scheduler.py:360-365)
+    max_running_requests: int = 128
+    is_use_additional_prompts: bool = False
+    max_additional_running_prompts: int = 16
+    alive_check_interval: float = 10.0
+
     # roles
     actor_train: WorkerConfig = field(default_factory=WorkerConfig)
     actor_infer: WorkerConfig = field(default_factory=WorkerConfig)

@@ -42,7 +42,8 @@ class RLVRPipeline(BasePipeline):
                  model_config: Qwen25VLConfig, policy_params, reference_params,
                  processor, dataset: List[Dict],
                  reward_fns: Optional[Dict[str, RewardFn]] = None,
-                 engine_kwargs: Optional[Dict] = None):
+                 engine_kwargs: Optional[Dict] = None,
+                 query_filter=None, response_filter=None):
         super().__init__(pipeline_config)
         cfg = pipeline_config
         self.model_config = model_config
@@ -73,6 +74,29 @@ class RLVRPipeline(BasePipeline):
         self.running = {"default": RunningMoments()}
         cfg.set_max_steps(len(dataset))
 
+        # dynamic sampling: concurrent prompt streaming with difficulty
+        # filtering + flow control (ref rlvr_pipeline.py batch pulls through
+        # DynamicSamplingScheduler, generate_scheduler.py:336-751)
+        self.sampler = None
+        if cfg.is_use_additional_prompts or cfg.generate_opt_level >= 1:
+            from ...runtime.generate_scheduler import (
+                DynamicSamplingScheduler, LocalGenerateGroup)
+            sched_rewards = {
+                domain: (lambda fn_: lambda texts, rows: fn_(
+                    texts, [r.get("ground_truth", "") for r in rows]))(fn_)
+                for domain, fn_ in self.reward_fns.items()}
+            self.sampler = DynamicSamplingScheduler(
+                LocalGenerateGroup([self.actor_infer]), self._collate,
+                reward_fns=sched_rewards,
+                detokenize=lambda ids: self.processor.decode(np.asarray(ids)),
+                query_filter=query_filter, response_filter=response_filter,
+                is_use_additional_prompts=cfg.is_use_additional_prompts,
+                max_running_requests=cfg.max_running_requests,
+                max_additional_running_prompts=cfg.max_additional_running_prompts,
+                alive_check_interval=cfg.alive_check_interval)
+            import itertools as _it
+            self._data_iter = _it.cycle(dataset) if dataset else iter(())
+
     # ---------------------------------------------------------------- collate
     def _collate(self, rows: List[Dict]) -> BatchProto:
         pad = self.model_config.pad_token_id
@@ -88,7 +112,8 @@ class RLVRPipeline(BasePipeline):
         return BatchProto.from_dict(
             tensors={"input_ids": ids, "attention_mask": attn, "position_ids": pos},
             non_tensors={"ground_truth": [r.get("ground_truth", "") for r in rows],
-                         "tag": [r.get("tag", "math") for r in rows]})
+                         "tag": [r.get("tag", "math") for r in rows]},
+            meta={"pad_token_id": pad})
 
     # -------------------------------------------------------------------- run
     def run(self) -> Dict[str, float]:
@@ -100,17 +125,32 @@ class RLVRPipeline(BasePipeline):
         last: Dict[str, float] = {}
 
         while step < cfg.max_steps:
-            rows = self.dataset[(step * bs) % max(len(self.dataset), 1):][:bs]
-            if not rows:
-                break
             t0 = time.perf_counter()
             self.actor_train.model_update()
             self.actor_infer.model_update()
-            batch = self._collate(rows)
 
-            with mm.timer("generate"):
-                seqs = self.actor_infer.generate(batch,
-                                                 cfg.actor_infer.generating_args)
+            sched_rewards = None
+            if self.sampler is not None:
+                # concurrent streaming rollout with filters + flow control;
+                # rewards arrive per group as decoding continues
+                with mm.timer("generate"):
+                    batch = self.sampler.get_batch(
+                        self._data_iter, bs, cfg.actor_infer.generating_args)
+                if not len(batch):
+                    break
+                seqs = batch.meta.pop("output")
+                mm.add_metrics(batch.meta.pop("metrics", {}))
+                if "response_level_rewards" in batch.meta:
+                    sched_rewards = (batch.meta.pop("response_level_rewards"),
+                                     batch.meta.pop("scores"))
+            else:
+                rows = self.dataset[(step * bs) % max(len(self.dataset), 1):][:bs]
+                if not rows:
+                    break
+                batch = self._collate(rows)
+                with mm.timer("generate"):
+                    seqs = self.actor_infer.generate(
+                        batch, cfg.actor_infer.generating_args)
             post = fn.postprocess_generate(
                 input_ids=np.asarray(batch.batch["input_ids"]),
                 attention_mask=np.asarray(batch.batch["attention_mask"]),
@@ -122,20 +162,26 @@ class RLVRPipeline(BasePipeline):
             texts = self._decode(post)
             expanded = batch.repeat(n)
 
-            # per-domain rewards (ref tag_2_domain routing)
-            rewards = np.zeros(len(expanded), np.float32)
-            scores = np.zeros(len(expanded), np.float32)
-            tags = [str(t) for t in expanded.non_tensor["tag"]]
-            for domain, fn_ in self.reward_fns.items():
-                idx = [i for i, t in enumerate(tags) if t == domain or
-                       (domain == "math" and t not in self.reward_fns)]
-                if not idx:
-                    continue
-                out = fn_([texts[i] for i in idx],
-                          [expanded.non_tensor["ground_truth"][i] for i in idx])
-                rewards[idx] = out["response_level_rewards"]
-                scores[idx] = out.get("scores", out["response_level_rewards"])
-                mm.add_domain_metrics(domain, out.get("metrics", {}))
+            # per-domain rewards (ref tag_2_domain routing); when the dynamic
+            # sampler ran, rewards were already dispatched per group during
+            # generation (ref report_response :588)
+            if sched_rewards is not None:
+                rewards, scores = (np.asarray(sched_rewards[0], np.float32),
+                                   np.asarray(sched_rewards[1], np.float32))
+            else:
+                rewards = np.zeros(len(expanded), np.float32)
+                scores = np.zeros(len(expanded), np.float32)
+                tags = [str(t) for t in expanded.non_tensor["tag"]]
+                for domain, fn_ in self.reward_fns.items():
+                    idx = [i for i, t in enumerate(tags) if t == domain or
+                           (domain == "math" and t not in self.reward_fns)]
+                    if not idx:
+                        continue
+                    out = fn_([texts[i] for i in idx],
+                              [expanded.non_tensor["ground_truth"][i] for i in idx])
+                    rewards[idx] = out["response_level_rewards"]
+                    scores[idx] = out.get("scores", out["response_level_rewards"])
+                    mm.add_domain_metrics(domain, out.get("metrics", {}))
 
             train_batch = BatchProto.from_dict(tensors={
                 "input_ids": post["input_ids"],

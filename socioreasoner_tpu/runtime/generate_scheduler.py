@@ -128,8 +128,10 @@ class GenerateScheduler:
         self.cluster.stop_server()
 
         # assemble right-padded outputs ordered by (prompt, sample)
-        pad_id = generating_args.extra_fields.get("pad_token_id", 0) \
-            if hasattr(generating_args, "extra_fields") else 0
+        pad_id = batch.meta.get(
+            "pad_token_id",
+            generating_args.extra_fields.get("pad_token_id", 0)
+            if hasattr(generating_args, "extra_fields") else 0)
         P = np.asarray(batch.batch["input_ids"]).shape[1]
         max_out = max((len(o.output_ids) for outs in collected.values()
                        for o in outs), default=0)
@@ -143,46 +145,249 @@ class GenerateScheduler:
         return BatchProto.from_dict(tensors={"output": result})
 
 
-class DynamicSamplingScheduler:
-    """Dataset-pulling rollout with filters + flow control (ref :336-751).
+class LocalGenerateGroup:
+    """Minimal cluster facade over in-process decode strategies so pipelines
+    can drive the schedulers' request-level protocol without the full
+    Cluster/Worker runtime (the reference's vllm cluster role). Each strategy
+    must expose start_server/stop_server/add_request/generate."""
 
-    Pulls prompts from `dataset_iter`, generates n samples each, applies
-    `query_filter(sample_row)` before generation and
-    `response_filter(row, outputs)` after; keeps pulling until
-    `target_prompts` pass. Used by the generic RLVRPipeline for difficulty
-    filtering / dynamic batch composition.
+    def __init__(self, strategies: List):
+        self.workers = list(strategies)
+
+    def start_server(self):
+        for s in self.workers:
+            s.start_server()
+
+    def stop_server(self):
+        for s in self.workers:
+            s.stop_server()
+
+    def generate(self, batch: BatchProto, generating_args):
+        return self.workers[0].generate(batch, generating_args)
+
+
+class DynamicSamplingScheduler:
+    """Concurrent dataset-pulling rollout with flow control (ref :336-751).
+
+    Streams prompts from the dataset into the decode servers, keeping many
+    prompt GROUPS (one prompt × n samples) in flight at once:
+
+      * flow control — `max_running_requests` caps concurrent requests per
+        worker; `max_additional_running_prompts` caps in-flight prompt groups
+        beyond the target batch size (ref :360-365, :737, :749);
+      * least-loaded routing of each request (ref get_available_dp_rank :186);
+      * per-domain reward dispatch as each group completes, concurrent with
+        the remaining decoding (ref report_response :588);
+      * `response_filter(row, output_ids)` drops single samples,
+        `query_filter(row, group_outputs)` drops whole groups (difficulty
+        filtering); rejected groups are REPLACED by pulling more prompts;
+      * per-domain scheduler metrics (ref :551-556).
+
+    `is_use_additional_prompts=False` disables both filters (ref :424-430).
     """
 
-    def __init__(self, cluster, collate_fn: Callable,
+    def __init__(self, cluster, collate_fn: Callable, *,
+                 reward_fns: Optional[Dict[str, Callable]] = None,
+                 detokenize: Optional[Callable] = None,
                  query_filter: Optional[Callable] = None,
                  response_filter: Optional[Callable] = None,
-                 max_additional_prompts: int = 64):
+                 is_use_additional_prompts: bool = True,
+                 max_running_requests: int = 128,
+                 max_additional_running_prompts: int = 16,
+                 alive_check_interval: float = 10.0,
+                 max_prompt_use_factor: int = 10):
         self.cluster = cluster
         self.collate_fn = collate_fn
-        self.query_filter = query_filter or (lambda row: True)
-        self.response_filter = response_filter or (lambda row, outs: True)
-        self.max_additional_prompts = max_additional_prompts
+        self.reward_fns = reward_fns or {}
+        self.detokenize = detokenize or (lambda ids: "")
+        if is_use_additional_prompts:
+            self.query_filter = query_filter or (lambda row, outs: True)
+            self.response_filter = response_filter or (lambda row, out: True)
+        else:  # ref :424-430 — filters disabled entirely
+            self.query_filter = lambda row, outs: True
+            self.response_filter = lambda row, out: True
+        self.max_running_requests = max_running_requests
+        self.max_additional_running_prompts = max_additional_running_prompts
+        self.alive_check_interval = alive_check_interval
+        self.max_prompt_use_factor = max_prompt_use_factor
+        self.counter = GlobalCounter()
 
+    # ------------------------------------------------------------------ main
     def get_batch(self, dataset_iter, target_prompts: int, generating_args
                   ) -> BatchProto:
-        accepted: List[BatchProto] = []
-        attempts = 0
-        budget = target_prompts + self.max_additional_prompts
-        while len(accepted) < target_prompts and attempts < budget:
-            try:
-                row = next(dataset_iter)
-            except StopIteration:
-                break
-            attempts += 1
-            if not self.query_filter(row):
-                continue
-            batch = self.collate_fn([row])
-            out = self.cluster.generate(batch, generating_args)
-            output = out.batch["output"] if isinstance(out, BatchProto) else out
-            if not self.response_filter(row, output):
-                continue
-            batch.union(BatchProto.from_dict(tensors={"output": np.asarray(output)}))
-            accepted.append(batch)
+        """Returns the collated batch of `target_prompts` accepted prompts with
+        meta: output (N*n, P+max_out) right-padded sequences, scores /
+        response_level_rewards (N*n,) when reward_fns are set, and
+        scheduler metrics."""
+        from ..generation.sampling import SamplingParams
+        n = generating_args.num_return_sequences
+        sp = SamplingParams.from_generating_args(generating_args)
+        workers = self.cluster.workers
+        lock = threading.Lock()
+        cond = threading.Condition(lock)
+        loads = [0] * len(workers)
+
+        groups: Dict[int, Dict] = {}        # gid -> state
+        ready: List[int] = []               # gids with all requests finished
+        accepted: List[Dict] = []
+        stats = {"query_filter_count": 0, "response_filter_count": 0,
+                 "prompt_use_count": 0, "max_inflight_prompts": 0}
+        domain_scores: Dict[str, List[float]] = {}
+        stopped = threading.Event()
+
+        def on_done(out):
+            gid, j, w = out.request_id
+            with cond:
+                g = groups.get(gid)
+                if g is None or stopped.is_set():
+                    return
+                loads[w] -= 1
+                g["pending"].discard((gid, j, w))
+                if out.finish_reason != "abort":
+                    g["outs"].append(out)
+                if not g["pending"]:
+                    ready.append(gid)
+                    cond.notify_all()
+
+        self.cluster.start_server()
+        gid_counter = itertools.count()
+        max_prompt_use = max(target_prompts * self.max_prompt_use_factor,
+                             target_prompts + self.max_additional_running_prompts)
+        exhausted = False
+        last_ping = time.time()
+        try:
+            while len(accepted) < target_prompts:
+                # ---- admit new prompt groups under flow control
+                while not exhausted:
+                    with lock:
+                        room_prompts = (len(groups) + len(accepted)
+                                        < target_prompts
+                                        + self.max_additional_running_prompts)
+                        least = int(np.argmin(loads))
+                        room_reqs = loads[least] + n <= self.max_running_requests
+                    if not (room_prompts and room_reqs):
+                        break
+                    if stats["prompt_use_count"] >= max_prompt_use:
+                        raise RuntimeError(
+                            f"dynamic sampling used {stats['prompt_use_count']} "
+                            f"prompts without filling {target_prompts} "
+                            "accepted groups — filters too strict?")
+                    try:
+                        row = next(dataset_iter)
+                    except StopIteration:
+                        exhausted = True
+                        break
+                    stats["prompt_use_count"] += 1
+                    batch = self.collate_fn([row])
+                    gid = next(gid_counter)
+                    ids = np.asarray(batch.batch["input_ids"][0])
+                    attn = np.asarray(batch.batch["attention_mask"][0])
+                    valid = attn == 1
+                    prompt_ids = ids[valid].tolist()
+                    pos = None
+                    if "position_ids" in batch.batch:
+                        pos = np.asarray(batch.batch["position_ids"][0])[:, valid]
+                    embeds = (batch.meta.get("image_embeds_list") or [None])[0]
+                    with lock:
+                        g = {"row": row, "batch": batch, "outs": [],
+                             "pending": set()}
+                        groups[gid] = g
+                        stats["max_inflight_prompts"] = max(
+                            stats["max_inflight_prompts"], len(groups))
+                        rids = []
+                        for j in range(n):
+                            w = int(np.argmin(loads))
+                            loads[w] += 1
+                            rid = (gid, j, w)
+                            g["pending"].add(rid)
+                            rids.append(rid)
+                    for rid in rids:
+                        workers[rid[2]].add_request(GenerateRequestType.ADD, {
+                            "request_id": rid, "prompt_ids": prompt_ids,
+                            "sampling": sp, "position_ids": pos,
+                            "image_embeds": embeds, "callback": on_done})
+
+                # ---- wait for a completed group (decode continues meanwhile)
+                with cond:
+                    if not ready and not groups and exhausted:
+                        break
+                    cond.wait(timeout=0.05)
+                    done_ids, ready[:] = list(ready), []
+                    done = [(gid, groups.pop(gid)) for gid in done_ids
+                            if gid in groups]
+
+                if time.time() - last_ping > self.alive_check_interval:
+                    for w in workers:
+                        w.add_request(GenerateRequestType.ALIVE_CHECK, None)
+                    last_ping = time.time()
+
+                # ---- filters + per-domain reward, concurrent with decoding
+                for gid, g in done:
+                    outs = [o for o in g["outs"]
+                            if self.response_filter(g["row"], o.output_ids)]
+                    stats["response_filter_count"] += len(g["outs"]) - len(outs)
+                    if len(outs) < n:
+                        continue  # dead group — replaced by the admit loop
+                    outs = sorted(outs, key=lambda o: o.request_id[1])[:n]
+                    domain = str(g["row"].get("domain",
+                                              g["row"].get("tag", "default")))
+                    reward_out = None
+                    if self.reward_fns:
+                        fn_ = self.reward_fns.get(
+                            domain) or next(iter(self.reward_fns.values()))
+                        texts = [self.detokenize(o.output_ids) for o in outs]
+                        reward_out = fn_(texts, [g["row"]] * n)
+                        scores = np.asarray(reward_out.get(
+                            "scores", reward_out["response_level_rewards"]),
+                            np.float32)
+                        domain_scores.setdefault(domain, []).extend(
+                            scores.tolist())
+                    if not self.query_filter(g["row"],
+                                             [o.output_ids for o in outs]):
+                        stats["query_filter_count"] += 1
+                        continue
+                    if len(accepted) < target_prompts:
+                        accepted.append({"batch": g["batch"], "outs": outs,
+                                         "reward": reward_out})
+        finally:
+            stopped.set()
+            with lock:
+                leftovers = [rid for g in groups.values() for rid in g["pending"]]
+            for rid in leftovers:
+                workers[rid[2]].add_request(GenerateRequestType.ABORT,
+                                            {"request_id": rid})
+            self.cluster.stop_server()
+
         if not accepted:
             return BatchProto()
-        return BatchProto.concat(accepted)
+
+        out_batch = BatchProto.concat([a["batch"] for a in accepted])
+        pad_id = out_batch.meta.get("pad_token_id", 0)
+        P = np.asarray(out_batch.batch["input_ids"]).shape[1]
+        max_out = max((len(o.output_ids) for a in accepted for o in a["outs"]),
+                      default=0)
+        N = len(accepted)
+        result = np.full((N * n, P + max_out), pad_id, np.int64)
+        for i, a in enumerate(accepted):
+            prompt_row = np.asarray(a["batch"].batch["input_ids"][0])
+            for j, o in enumerate(a["outs"]):
+                result[i * n + j, :P] = prompt_row
+                result[i * n + j, P:P + len(o.output_ids)] = o.output_ids
+        out_batch.meta["output"] = result
+        if self.reward_fns:
+            out_batch.meta["scores"] = np.concatenate([
+                np.asarray(a["reward"].get("scores",
+                                           a["reward"]["response_level_rewards"]),
+                           np.float32) for a in accepted])
+            out_batch.meta["response_level_rewards"] = np.concatenate([
+                np.asarray(a["reward"]["response_level_rewards"], np.float32)
+                for a in accepted])
+        metrics = {f"scheduler/{k}": float(v) for k, v in stats.items()}
+        metrics["scheduler/collect_query_count"] = float(N)
+        for domain, vals in domain_scores.items():
+            v = np.asarray(vals, np.float32)
+            metrics[f"scheduler/{domain}/score/mean"] = float(v.mean())
+            metrics[f"scheduler/{domain}/score/max"] = float(v.max())
+            metrics[f"scheduler/{domain}/score/min"] = float(v.min())
+        out_batch.meta["metrics"] = metrics
+        return out_batch

@@ -109,3 +109,55 @@ def test_rlvr_pipeline_one_step(tmp_path):
     metrics = pipe.run()
     assert np.isfinite(metrics["actor_train/total_loss"])
     assert "critic/reward_mean" in metrics
+
+
+def test_rlvr_pipeline_dynamic_sampling(tmp_path):
+    """Dynamic-sampling rollout: concurrent prompt streaming with flow control
+    + per-group reward dispatch + group filtering, end-to-end through GRPO
+    (ref rlvr_pipeline.py batch pulls via DynamicSamplingScheduler)."""
+    from socioreasoner_tpu.configs.rlvr_config import RLVRConfig
+    from socioreasoner_tpu.datasets.processor import SocioProcessor
+    from socioreasoner_tpu.models.qwen2_5_vl.config import Qwen25VLConfig
+    from socioreasoner_tpu.models.qwen2_5_vl import model as qmodel
+    from socioreasoner_tpu.pipeline.rlvr.rlvr_pipeline import RLVRPipeline
+    from tests.test_infer_pipeline_e2e import TinyTokenizer
+
+    model_config = Qwen25VLConfig.tiny(512)
+    params = qmodel.init_params(model_config, jax.random.key(0), jnp.float32,
+                                with_vision=False)
+    ref = qmodel.init_params(model_config, jax.random.key(0), jnp.float32,
+                             with_vision=False)
+    processor = SocioProcessor(TinyTokenizer(),
+                               image_token_id=model_config.image_token_id)
+    cfg = RLVRConfig(output_dir=str(tmp_path), rollout_batch_size=2,
+                     prompt_length=64, response_length=8, max_steps=1,
+                     num_return_sequences_in_group=2, save_steps=-1,
+                     use_kl_loss=True, kl_loss_coef=1e-3, reward_clip=10.0,
+                     is_use_additional_prompts=True,
+                     max_running_requests=8,
+                     max_additional_running_prompts=2)
+    cfg.actor_infer.generating_args.max_new_tokens = 6
+    cfg.actor_infer.generating_args.num_return_sequences = 2
+    dataset = [{"prompt": f"{i}+1=?", "ground_truth": str(i + 1), "tag": "math"}
+               for i in range(4)]
+    rejected = []
+
+    def query_filter(row, group_outputs):
+        # reject the first group seen once (forces a replacement pull)
+        if not rejected:
+            rejected.append(row["prompt"])
+            return False
+        return True
+
+    pipe = RLVRPipeline(cfg, model_config=model_config, policy_params=params,
+                        reference_params=ref, processor=processor,
+                        dataset=dataset, query_filter=query_filter,
+                        engine_kwargs={"max_slots": 4, "max_len": 96,
+                                       "decode_chunk": 4, "prefill_buckets": (64,),
+                                       "cache_dtype": jnp.float32})
+    assert pipe.sampler is not None
+    metrics = pipe.run()
+    assert np.isfinite(metrics["actor_train/total_loss"])
+    assert len(rejected) == 1
+    assert metrics.get("scheduler/query_filter_count", 0) >= 1
+    assert metrics.get("scheduler/prompt_use_count", 0) >= 3

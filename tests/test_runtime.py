@@ -168,3 +168,148 @@ def test_trackers(tmp_path):
     tb = create_tracker("tensorboard", log_dir=str(tmp_path / "tb"))
     tb.log({"m": 2.0}, step=1)
     tb.close()
+
+
+class _FakeDecodeWorker:
+    """Asynchronous fake worker for scheduler unit tests: completes each ADDed
+    request on a background thread after `delay` seconds, echoing the prompt's
+    first token `n_out` times."""
+
+    def __init__(self, delay=0.02, n_out=3):
+        import threading
+        self.delay = delay
+        self.n_out = n_out
+        self.inflight = 0
+        self.peak_inflight = 0
+        self._lock = threading.Lock()
+        self._timers = []
+        self.started = False
+
+    def start_server(self):
+        self.started = True
+
+    def stop_server(self):
+        for t in self._timers:
+            t.cancel()
+
+    def add_request(self, command, data):
+        import threading
+        from socioreasoner_tpu.utils.functionals import GenerateRequestType
+        from socioreasoner_tpu.generation.engine import EngineOutput
+        if command == GenerateRequestType.ALIVE_CHECK:
+            return {"alive": True}
+        if command == GenerateRequestType.ABORT:
+            return
+        assert self.started
+        with self._lock:
+            self.inflight += 1
+            self.peak_inflight = max(self.peak_inflight, self.inflight)
+
+        def finish():
+            with self._lock:
+                self.inflight -= 1
+            out = EngineOutput(data["request_id"], data["prompt_ids"],
+                               [data["prompt_ids"][0]] * self.n_out, "stop")
+            data["callback"](out)
+
+        t = threading.Timer(self.delay, finish)
+        self._timers.append(t)
+        t.start()
+
+
+def test_dynamic_sampling_scheduler_concurrent():
+    """Prompts stream concurrently under flow control; rejected groups are
+    replaced; per-domain rewards dispatched during generation
+    (ref generate_scheduler.py:336-751)."""
+    from socioreasoner_tpu.configs.worker_config import GeneratingArguments
+    from socioreasoner_tpu.runtime.generate_scheduler import (
+        DynamicSamplingScheduler, LocalGenerateGroup)
+
+    workers = [_FakeDecodeWorker(), _FakeDecodeWorker()]
+    group = LocalGenerateGroup(workers)
+    P = 4
+    n = 2
+
+    def collate(rows):
+        row = rows[0]
+        ids = np.full((1, P), 0, np.int64)
+        ids[0, -2:] = [row["tok"], row["tok"]]
+        attn = np.zeros((1, P), np.int64)
+        attn[0, -2:] = 1
+        return BatchProto.from_dict(
+            tensors={"input_ids": ids, "attention_mask": attn},
+            non_tensors={"tag": [row["tag"]]},
+            meta={"pad_token_id": 0})
+
+    # reject every group whose token is odd — those prompts must be REPLACED
+    def query_filter(row, group_outputs):
+        assert len(group_outputs) == n
+        return row["tok"] % 2 == 0
+
+    rewards_seen = []
+
+    def reward_fn(texts, rows):
+        rewards_seen.append(rows[0]["tok"])
+        return {"response_level_rewards": np.full(len(texts), rows[0]["tok"],
+                                                  np.float32)}
+
+    dataset = [{"tok": t, "tag": "math" if t % 3 else "code"}
+               for t in range(10, 40)]
+    sched = DynamicSamplingScheduler(
+        group, collate, reward_fns={"math": reward_fn, "code": reward_fn},
+        detokenize=lambda ids: str(ids[0]), query_filter=query_filter,
+        is_use_additional_prompts=True,
+        max_running_requests=4, max_additional_running_prompts=3)
+    ga = GeneratingArguments(max_new_tokens=4, num_return_sequences=n,
+                             temperature=0.0, do_sample=False)
+    batch = sched.get_batch(iter(dataset), target_prompts=4, generating_args=ga)
+
+    assert len(batch) == 4
+    # only even-token (accepted) prompts survive, in completion order
+    toks = np.asarray(batch.batch["input_ids"])[:, -1]
+    assert all(t % 2 == 0 for t in toks)
+    out = batch.meta["output"]
+    assert out.shape == (8, P + 3)
+    for i in range(4):
+        assert (out[2 * i, P:] == toks[i]).all()
+    # rewards were dispatched per group (incl. rejected groups' domains)
+    assert batch.meta["response_level_rewards"].shape == (8,)
+    assert set(batch.meta["response_level_rewards"][::2]) == set(toks)
+    m = batch.meta["metrics"]
+    assert m["scheduler/query_filter_count"] >= 1          # odd groups rejected
+    assert m["scheduler/prompt_use_count"] > 4             # replacements pulled
+    assert m["scheduler/max_inflight_prompts"] > 1         # true concurrency
+    assert m["scheduler/max_inflight_prompts"] <= 4 + 3    # prompt-group cap
+    # per-worker request cap respected
+    assert max(w.peak_inflight for w in workers) <= 4
+    assert any(f"scheduler/{d}/score/mean" in m for d in ("math", "code"))
+
+
+def test_dynamic_sampling_flow_control_cap():
+    """max_running_requests gates admission: with one worker and cap == n,
+    only one prompt group may be in flight at a time."""
+    from socioreasoner_tpu.configs.worker_config import GeneratingArguments
+    from socioreasoner_tpu.runtime.generate_scheduler import (
+        DynamicSamplingScheduler, LocalGenerateGroup)
+
+    worker = _FakeDecodeWorker(delay=0.01)
+    P, n = 4, 2
+
+    def collate(rows):
+        ids = np.full((1, P), 0, np.int64)
+        ids[0, -1] = rows[0]["tok"]
+        attn = np.zeros((1, P), np.int64)
+        attn[0, -1] = 1
+        return BatchProto.from_dict(
+            tensors={"input_ids": ids, "attention_mask": attn},
+            meta={"pad_token_id": 0})
+
+    sched = DynamicSamplingScheduler(
+        LocalGenerateGroup([worker]), collate,
+        max_running_requests=n, max_additional_running_prompts=8)
+    ga = GeneratingArguments(max_new_tokens=4, num_return_sequences=n,
+                             temperature=0.0, do_sample=False)
+    batch = sched.get_batch(iter([{"tok": t} for t in range(2, 12)]),
+                            target_prompts=5, generating_args=ga)
+    assert len(batch) == 5
+    assert worker.peak_inflight <= n

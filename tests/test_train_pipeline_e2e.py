@@ -36,7 +36,10 @@ def test_train_pipeline_two_steps(tmp_path):
         response_length=16, save_steps=-1, track_with="stdout", max_steps=2,
         num_return_sequences_in_group=2, adv_estimator="grpo",
         use_kl_loss=True, kl_loss_coef=5e-3, reward_clip=10.0,
-        advantage_clip=10.0, entropy_loss_coef=0.01)
+        advantage_clip=10.0, entropy_loss_coef=0.01,
+        # stage-1 rollout through the request-level server plane
+        # (abort-on-complete fan-out, ref generate_opt_level)
+        generate_opt_level=1)
     cfg.actor_infer.generating_args.max_new_tokens = 6
     cfg.actor_infer.generating_args.num_return_sequences = 2
     cfg.actor_train.training_args.learning_rate = 1e-4
