@@ -87,7 +87,7 @@ class JaxTrainStrategy(TrainStrategy):
     def initialize(self, model_config: Qwen25VLConfig, params,
                    loss_cfg: Optional[PPOLossConfig] = None,
                    training_args=None, param_store: Optional[ParamStore] = None,
-                   checkpoint_dir: Optional[str] = None):
+                   checkpoint_dir: Optional[str] = None, mesh=None):
         self.model_config = model_config
         if param_store is not None:
             self.param_store = param_store
@@ -102,11 +102,20 @@ class JaxTrainStrategy(TrainStrategy):
             schedule=getattr(ta, "lr_scheduler_type", "constant"))
         self.state = TrainState.create(params, self.optimizer)
         self.loss_cfg = loss_cfg or PPOLossConfig()
+        cp = self._make_cp(mesh)
         self._train_step = jax.jit(make_train_step(
-            model_config, self.loss_cfg, self.optimizer))
-        self._logprob_step = jax.jit(make_logprob_step(model_config))
+            model_config, self.loss_cfg, self.optimizer, cp=cp))
+        self._logprob_step = jax.jit(make_logprob_step(model_config, cp=cp))
         self.param_store.put("actor", self.state.params)
         self.ckpt = CheckpointManager(checkpoint_dir) if checkpoint_dir else None
+
+    def _make_cp(self, mesh):
+        """CP plan from strategy_args (ref training_args.py:35
+        context_parallel_size) — zigzag ring attention over the sp axis."""
+        from ..parallel.context_parallel import make_cp_config
+        cp_size = int(self.worker_config.strategy_args.config.get(
+            "context_parallel_size", 1)) if self.worker_config else 1
+        return make_cp_config(mesh, cp_size)
 
     @property
     def params(self):
@@ -155,12 +164,13 @@ class JaxInferStrategy(InferenceStrategy):
     strategy_name = "jax_infer"
 
     def initialize(self, model_config: Qwen25VLConfig, params,
-                   param_store: Optional[ParamStore] = None):
+                   param_store: Optional[ParamStore] = None, mesh=None):
         self.model_config = model_config
         if param_store is not None:
             self.param_store = param_store
         self._params = params
-        self._logprob_step = jax.jit(make_logprob_step(model_config))
+        cp = JaxTrainStrategy._make_cp(self, mesh)
+        self._logprob_step = jax.jit(make_logprob_step(model_config, cp=cp))
 
     @property
     def params(self):

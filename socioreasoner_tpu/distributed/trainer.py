@@ -56,38 +56,66 @@ def make_optimizer(lr: float = 1e-6, weight_decay: float = 0.0, b1: float = 0.9,
 
 def _model_log_probs(config: Qwen25VLConfig, params, batch: Dict,
                      remat: bool, with_entropy: bool = True,
-                     use_flash: bool = False):
-    """Forward → (logp of next-token labels, entropy), both (B, L-1)."""
-    logits, _ = qmodel.forward(
-        config, params, batch["input_ids"], batch["position_ids"],
+                     use_flash: bool = False, cp=None):
+    """Forward → (logp of next-token labels, entropy), both (B, L-1).
+
+    With cp (context parallelism): the model returns logits in the zigzag
+    layout; next-token targets are built in ORIGINAL order, permuted to match,
+    the per-token logp/entropy are inverse-permuted back — only (B, L) float
+    arrays cross the permutation, never the (B, L, V) logits."""
+    ids = batch["input_ids"]
+    if cp is None:
+        logits, _ = qmodel.forward(
+            config, params, ids, batch["position_ids"],
+            batch.get("attention_mask"),
+            image_embeds=batch.get("image_embeds"),
+            vision_inputs=batch.get("vision_inputs"),
+            remat=remat, use_flash=use_flash)
+        shift_logits = logits[:, :-1]
+        labels = ids[:, 1:]
+        lp = log_probs_from_logits(shift_logits, labels)
+        ent = entropy_from_logits(shift_logits) if with_entropy else jnp.zeros_like(lp)
+        return lp, ent
+
+    B, L = ids.shape
+    perm = jnp.asarray(cp.perm(L))
+    inv = jnp.asarray(cp.inv_perm(L))
+    # position i predicts token i+1; the last column is a dummy (masked out by
+    # every caller — response masks never reach index L-1 of the shifted frame)
+    labels_full = jnp.concatenate([ids[:, 1:], ids[:, -1:]], axis=1)
+    logits_p, _ = qmodel.forward(
+        config, params, ids, batch["position_ids"],
         batch.get("attention_mask"),
         image_embeds=batch.get("image_embeds"),
         vision_inputs=batch.get("vision_inputs"),
-        remat=remat, use_flash=use_flash)
-    shift_logits = logits[:, :-1]
-    labels = batch["input_ids"][:, 1:]
-    lp = log_probs_from_logits(shift_logits, labels)
-    ent = entropy_from_logits(shift_logits) if with_entropy else jnp.zeros_like(lp)
-    return lp, ent
+        remat=remat, use_flash=use_flash, cp=cp)
+    lp_p = log_probs_from_logits(logits_p, labels_full[:, perm])
+    ent_p = (entropy_from_logits(logits_p) if with_entropy
+             else jnp.zeros_like(lp_p))
+    return lp_p[:, inv][:, :-1], ent_p[:, inv][:, :-1]
 
 
 def make_train_step(config: Qwen25VLConfig, loss_cfg: PPOLossConfig,
-                    optimizer: optax.GradientTransformation, remat: bool = True
+                    optimizer: optax.GradientTransformation, remat: bool = True,
+                    cp=None
                     ) -> Callable[[TrainState, Dict], Tuple[TrainState, Dict]]:
     """Build the jittable GRPO train step.
 
     batch keys: input_ids (B,L), attention_mask, position_ids (B,3,L),
     response_mask (B,L), advantages/old_log_probs/ref_log_probs (B,L-1),
     optional image_embeds / vision_inputs, optional sample weights.
+    cp: optional CPConfig — shards the sequence over the mesh's sp axis with
+    zigzag ring attention (ref context_parallel_size, training_args.py:35).
     """
 
     from ..ops.flags import use_flash_attention
-    flash = use_flash_attention()
+    flash = use_flash_attention() and cp is None
 
     def train_step(state: TrainState, batch: Dict) -> Tuple[TrainState, Dict]:
         def loss_fn(params):
             lp, ent = _model_log_probs(config, params, batch, remat,
-                                       with_entropy=True, use_flash=flash)
+                                       with_entropy=True, use_flash=flash,
+                                       cp=cp)
             resp = batch["response_mask"][:, 1:]
             return ppo_policy_loss(
                 lp, ent, batch["old_log_probs"], batch.get("ref_log_probs"),
@@ -104,15 +132,16 @@ def make_train_step(config: Qwen25VLConfig, loss_cfg: PPOLossConfig,
     return train_step
 
 
-def make_logprob_step(config: Qwen25VLConfig, remat: bool = False
+def make_logprob_step(config: Qwen25VLConfig, remat: bool = False, cp=None
                       ) -> Callable[[Any, Dict], Dict]:
     """Forward-only: {"log_probs": (B,L-1), "entropy": (B,L-1)} masked to response.
     Uses the Pallas flash kernel on TPU (forward has no autodiff requirement)."""
     from ..ops.flags import use_flash_attention
-    flash = use_flash_attention()
+    flash = use_flash_attention() and cp is None
 
     def logprob_step(params, batch: Dict) -> Dict:
-        lp, ent = _model_log_probs(config, params, batch, remat, use_flash=flash)
+        lp, ent = _model_log_probs(config, params, batch, remat, use_flash=flash,
+                                   cp=cp)
         resp = batch["response_mask"][:, 1:].astype(lp.dtype)
         return {"log_probs": lp * resp, "entropy": ent * resp}
 

@@ -57,8 +57,19 @@ def forward(
     remat: bool = False,
     logits: bool = True,
     use_flash: bool = False,
+    cp=None,
 ) -> Tuple[jnp.ndarray, Optional[Dict]]:
-    """Returns (logits or hidden, new_cache)."""
+    """Returns (logits or hidden, new_cache).
+
+    With cp (parallel.context_parallel.CPConfig): embeddings + image scatter
+    happen in the ORIGINAL sequence order, then everything is permuted into
+    the zigzag layout (ref modeling_qwen2_5_vl.py:452-480 — balances causal
+    ring-attention work across cp ranks), the seq dim is sharded over the cp
+    mesh axis, and the decoder runs ring attention. **Returned logits are in
+    PERMUTED order** — align targets with cp.perm(L) and map results back
+    with cp.inv_perm(L) (cheap (B, L) gathers; the (B, L, V) logits never
+    move). The reference's loss-side counterpart is
+    parallel_functions/context_parallel.py:6-35 (gather with backward)."""
     tcfg = config.text
     embeds = params["embed"][input_ids]
 
@@ -77,10 +88,28 @@ def forward(
 
     # Causality follows SEQUENCE order (arange), not M-RoPE values: image tokens
     # share equal t-positions, so masking by position value would be bidirectional.
+    q_positions = None
+    if cp is not None and cache is None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        B, L = input_ids.shape
+        perm = jnp.asarray(cp.perm(L))
+        q_positions = jnp.broadcast_to(perm[None], (B, L))
+        shard3 = NamedSharding(cp.mesh, P(("dp", "fsdp"), None, None))
+        # batch-shard the pre-permute embeds so the zigzag gather stays local
+        # per batch shard (one gather, no involuntary full remat), then pin the
+        # permuted layout with the seq dim over the cp axis
+        embeds = jax.lax.with_sharding_constraint(embeds, shard3)
+        embeds = embeds[:, perm]
+        cos, sin = cos[:, perm], sin[:, perm]
+        if attention_mask is not None:
+            attention_mask = attention_mask[:, perm]
+        embeds = jax.lax.with_sharding_constraint(
+            embeds, NamedSharding(cp.mesh, P(("dp", "fsdp"), cp.axis, None)))
+
     hidden, new_cache = text_decoder(
         tcfg, params, embeds, cos, sin, attention_mask,
-        q_positions=None, cache=cache, cache_positions=cache_positions,
-        remat=remat, use_flash=use_flash)
+        q_positions=q_positions, cache=cache, cache_positions=cache_positions,
+        remat=remat, use_flash=use_flash, cp=cp if cache is None else None)
     if not logits:
         return hidden, new_cache
     head = params.get("lm_head")

@@ -33,8 +33,13 @@ def attention_layer(cfg: TextConfig, p: Dict, x: jnp.ndarray,
                     cache_positions: Optional[jnp.ndarray] = None,
                     kv_valid: Optional[jnp.ndarray] = None,
                     cache_scales: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
-                    use_flash: bool = False):
+                    use_flash: bool = False, cp=None):
     """Self-attention with M-RoPE. x: (B, L, hidden).
+
+    With cp (a parallel.context_parallel.CPConfig): the sequence dim is
+    sharded over the mesh's cp axis and attention runs as ring attention over
+    ICI with causality decided by the GLOBAL `q_positions` (zigzag layout
+    safe). Cache mode (decode) never uses cp.
 
     Without cache: causal over the input sequence.
     With cache: (k_cache, v_cache) (B, Lmax, Hkv, D); new k/v scattered at
@@ -57,7 +62,12 @@ def attention_layer(cfg: TextConfig, p: Dict, x: jnp.ndarray,
     q, k = apply_rotary(q, k, cos, sin)
 
     if cache_kv is None:
-        if use_flash:
+        if cp is not None:
+            from ...parallel.ring_attention import ring_attention_zigzag
+            out = ring_attention_zigzag(q, k, v, q_positions, attention_mask,
+                                        mesh=cp.mesh, seq_axis=cp.axis,
+                                        causal=True)
+        elif use_flash:
             # differentiable flash kernel (custom VJP) — serves train + infer
             from ...ops.flash_attention_bwd import flash_attention_trainable
             lens = None if attention_mask is None else \
@@ -119,7 +129,7 @@ def attention_layer(cfg: TextConfig, p: Dict, x: jnp.ndarray,
 
 def decoder_layer(cfg: TextConfig, p: Dict, x, cos, sin, attention_mask, q_positions,
                   cache_kv=None, cache_positions=None, kv_valid=None,
-                  cache_scales=None, use_flash=False):
+                  cache_scales=None, use_flash=False, cp=None):
     attn_keys = ["q_w", "q_b", "k_w", "k_b", "v_w", "v_b", "o_w"]
     if cfg.use_qk_norm:
         attn_keys += ["q_norm", "k_norm"]
@@ -127,7 +137,7 @@ def decoder_layer(cfg: TextConfig, p: Dict, x, cos, sin, attention_mask, q_posit
         cfg, {k: p[k] for k in attn_keys},
         rms_norm(x, p["input_ln"], cfg.rms_norm_eps),
         cos, sin, attention_mask, q_positions, cache_kv, cache_positions, kv_valid,
-        cache_scales=cache_scales, use_flash=use_flash)
+        cache_scales=cache_scales, use_flash=use_flash, cp=cp)
     x = x + h
     h2 = rms_norm(x, p["post_ln"], cfg.rms_norm_eps)
     if cfg.n_experts:      # MoE family (qwen2/3_moe, mixtral): routed experts
@@ -254,6 +264,7 @@ def text_decoder(
     cache_positions: Optional[jnp.ndarray] = None,
     remat: bool = False,
     use_flash: bool = False,
+    cp=None,
 ) -> Tuple[jnp.ndarray, Optional[Dict]]:
     """Returns (B, L, hidden) final hidden states (post final norm) + updated cache."""
     B, L, _ = inputs_embeds.shape
@@ -262,7 +273,7 @@ def text_decoder(
 
     import functools as _ft
     # use_flash bound by closure (static) — jax.checkpoint would trace kwargs
-    layer_fn = _ft.partial(decoder_layer, use_flash=use_flash)
+    layer_fn = _ft.partial(decoder_layer, use_flash=use_flash, cp=cp)
     if remat:
         layer_fn = jax.checkpoint(layer_fn, static_argnums=(0,))
 

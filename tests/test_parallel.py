@@ -92,3 +92,170 @@ def test_moe_sharded_over_tp(mesh8):
     x = jax.random.normal(jax.random.key(1), (16, 32))
     out, aux = jax.jit(lambda x, p: moe_mlp(x, p, top_k=2))(x, params)
     assert np.isfinite(np.array(out)).all()
+
+
+# ------------------------------------------------------------------ context parallel
+
+def test_zigzag_matches_reference_ranges():
+    """zigzag_indices must reproduce the reference's per-rank 2-chunk ranges
+    (mcore_adapter/models/qwen2_5_vl/modeling_qwen2_5_vl.py:464-480)."""
+    from socioreasoner_tpu.parallel.context_parallel import (
+        inverse_zigzag_indices, zigzag_indices)
+    L = 48
+    for cp in (2, 3, 4):
+        perm = zigzag_indices(L, cp)
+        shard = L // cp
+        for r in range(cp):
+            local = perm[r * shard:(r + 1) * shard]
+            # reference formula: [C*r, C*(r+1)) then [L-C*(r+1), L-C*r)
+            C = L // cp // 2
+            left = np.arange(C * r, C * (r + 1))
+            right = np.arange(L - C * (r + 1), L - C * r)
+            np.testing.assert_array_equal(local, np.concatenate([left, right]))
+        inv = inverse_zigzag_indices(L, cp)
+        np.testing.assert_array_equal(perm[inv], np.arange(L))
+    with pytest.raises(ValueError):
+        zigzag_indices(10, 4)
+
+
+def test_ring_attention_zigzag_exact(mesh8):
+    """Position-aware ring attention in zigzag layout == dense causal
+    attention with padding mask (GQA heads included), at valid positions."""
+    from socioreasoner_tpu.parallel.context_parallel import zigzag_indices
+    from socioreasoner_tpu.parallel.ring_attention import ring_attention_zigzag
+    mesh = make_mesh(dp=1, fsdp=2, tp=2, sp=2)
+    B, L, H, Hkv, D = 2, 16, 4, 2, 8
+    rng = np.random.default_rng(0)
+    q = rng.normal(size=(B, L, H, D)).astype(np.float32)
+    k = rng.normal(size=(B, L, Hkv, D)).astype(np.float32)
+    v = rng.normal(size=(B, L, Hkv, D)).astype(np.float32)
+    mask = np.ones((B, L), np.int32)
+    mask[0, :3] = 0
+
+    kf = np.repeat(k, H // Hkv, axis=2)
+    vf = np.repeat(v, H // Hkv, axis=2)
+    logits = np.einsum("bqhd,bkhd->bhqk", q, kf) * D ** -0.5
+    keep = ((np.arange(L)[None, :] <= np.arange(L)[:, None])[None, None]
+            & (mask[:, None, None, :] != 0))
+    logits = np.where(keep, logits, -1e30)
+    p = np.exp(logits - logits.max(-1, keepdims=True))
+    p = p / p.sum(-1, keepdims=True)
+    ref = np.einsum("bhqk,bkhd->bqhd", p, vf)
+
+    perm = zigzag_indices(L, 2)
+    pos = np.broadcast_to(perm[None], (B, L)).astype(np.int32)
+    with jax.sharding.set_mesh(mesh):
+        out = np.asarray(jax.jit(
+            lambda *a: ring_attention_zigzag(*a, mesh=mesh, k_chunk=4))(
+            jnp.asarray(q[:, perm]), jnp.asarray(k[:, perm]),
+            jnp.asarray(v[:, perm]), jnp.asarray(pos),
+            jnp.asarray(mask[:, perm])))
+    valid = mask[:, perm] == 1        # pad-query outputs are unread garbage
+    np.testing.assert_allclose(out[valid], ref[:, perm][valid],
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_cp_train_and_logprob_match_dense(mesh8):
+    """context_parallel_size=2 train step == cp-less step: same loss, same
+    updated params (bitwise-tolerance); logprob step identical in canonical
+    order (VERDICT r2 item 4)."""
+    from socioreasoner_tpu.distributed.trainer import (
+        TrainState, make_logprob_step, make_optimizer, make_train_step)
+    from socioreasoner_tpu.models.qwen2_5_vl.config import Qwen25VLConfig
+    from socioreasoner_tpu.models.qwen2_5_vl import model as qmodel
+    from socioreasoner_tpu.models.qwen2_5_vl import rope as qrope
+    from socioreasoner_tpu.parallel.context_parallel import CPConfig
+    from socioreasoner_tpu.parallel.sharding import (batch_shardings,
+                                                     param_shardings)
+    from socioreasoner_tpu.pipeline.losses import PPOLossConfig
+
+    mesh = make_mesh(dp=1, fsdp=2, tp=2, sp=2)
+    cp = CPConfig(mesh=mesh, size=2)
+    config = Qwen25VLConfig.tiny()
+    params = qmodel.init_params(config, jax.random.key(0), with_vision=False)
+    params = jax.device_put(params, param_shardings(params, mesh))
+    optimizer = make_optimizer(lr=1e-3)
+
+    B, L = 4, 16
+    rng = np.random.default_rng(0)
+    ids = rng.integers(2, 200, size=(B, L))
+    attn = np.ones((B, L), np.int64)
+    attn[0, :2] = 0                     # ragged left padding
+    pos, _ = qrope.get_rope_index(config, ids, None, attn)
+    resp = np.zeros((B, L), np.int32)
+    resp[:, L // 2:] = 1
+    batch = {
+        "input_ids": ids, "attention_mask": attn, "position_ids": pos,
+        "response_mask": resp,
+        "advantages": rng.normal(size=(B, L - 1)).astype(np.float32),
+        "old_log_probs": (-np.abs(rng.normal(size=(B, L - 1)))).astype(np.float32),
+        "ref_log_probs": (-np.abs(rng.normal(size=(B, L - 1)))).astype(np.float32),
+    }
+    bs = batch_shardings(mesh, batch)
+    batch = {k: jax.device_put(np.asarray(v), bs[k]) for k, v in batch.items()}
+
+    with jax.sharding.set_mesh(mesh):
+        state0 = TrainState.create(params, optimizer)
+        dense_step = jax.jit(make_train_step(config, PPOLossConfig(), optimizer))
+        cp_step = jax.jit(make_train_step(config, PPOLossConfig(), optimizer,
+                                          cp=cp))
+        s_d, m_d = dense_step(state0, batch)
+        s_c, m_c = cp_step(state0, batch)
+
+        lp_d = jax.jit(make_logprob_step(config))(params, batch)
+        lp_c = jax.jit(make_logprob_step(config, cp=cp))(params, batch)
+
+    assert np.isclose(float(m_d["actor_train/total_loss"]),
+                      float(m_c["actor_train/total_loss"]), rtol=1e-5, atol=1e-6)
+    diffs = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                         s_d.params, s_c.params)
+    assert max(jax.tree.leaves(diffs)) < 5e-5, diffs
+    np.testing.assert_allclose(np.asarray(lp_d["log_probs"]),
+                               np.asarray(lp_c["log_probs"]),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(lp_d["entropy"]),
+                               np.asarray(lp_c["entropy"]),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_strategy_honors_context_parallel_knob(mesh8):
+    """strategy_args.strategy_config.context_parallel_size wires CP into the
+    jitted train/logprob steps (ref training_args.py:35 knob)."""
+    from socioreasoner_tpu.configs.worker_config import (StrategyArguments,
+                                                         WorkerConfig)
+    from socioreasoner_tpu.distributed.jax_strategies import JaxTrainStrategy
+    from socioreasoner_tpu.models.qwen2_5_vl.config import Qwen25VLConfig
+    from socioreasoner_tpu.models.qwen2_5_vl import model as qmodel
+    from socioreasoner_tpu.models.qwen2_5_vl import rope as qrope
+    from socioreasoner_tpu.parallel.sharding import shard_params
+    from socioreasoner_tpu.protocol import BatchProto
+
+    mesh = make_mesh(dp=1, fsdp=2, tp=2, sp=2)
+    config = Qwen25VLConfig.tiny()
+    params = shard_params(
+        qmodel.init_params(config, jax.random.key(0), with_vision=False), mesh)
+    wc = WorkerConfig(strategy_args=StrategyArguments(
+        strategy_name="jax_train",
+        strategy_config={"context_parallel_size": 2}))
+    strat = JaxTrainStrategy(worker_config=wc)
+    strat.initialize(config, params, mesh=mesh)
+
+    B, L = 4, 16
+    rng = np.random.default_rng(0)
+    ids = rng.integers(2, 200, size=(B, L))
+    attn = np.ones((B, L), np.int64)
+    pos, _ = qrope.get_rope_index(config, ids, None, attn)
+    resp = np.zeros((B, L), np.int32)
+    resp[:, L // 2:] = 1
+    batch = BatchProto.from_dict(tensors={
+        "input_ids": ids, "attention_mask": attn, "position_ids": pos,
+        "response_mask": resp,
+        "advantages": rng.normal(size=(B, L - 1)).astype(np.float32),
+        "old_log_probs": (-np.abs(rng.normal(size=(B, L - 1)))).astype(np.float32),
+        "ref_log_probs": (-np.abs(rng.normal(size=(B, L - 1)))).astype(np.float32),
+    })
+    with jax.sharding.set_mesh(mesh):
+        metrics = strat.train_step(batch)
+        lp = strat.compute_log_probs(batch)
+    assert np.isfinite(metrics["actor_train/total_loss"])
+    assert lp["log_probs"].shape == (B, L - 1)
