@@ -1,15 +1,22 @@
 """Benchmark entry — prints ONE JSON line for the driver.
 
-Current metric (round 1): Qwen2.5-VL-3B text prefill throughput, bf16, single
-chip, L=1024. This is the decode-engine's upper bound and tracks the compute
-path that dominates SocioSeg stage-1/2 reasoning. Will evolve to SocioSeg
-tiles/sec/chip once the full two-stage pipeline + SAM2 are wired (BASELINE.md).
+Headline metric (round 2+): **SocioSeg tiles/sec/chip** through the full
+two-stage inference pipeline — stage-1 decode (map+sat → bboxes) → SAM2 masks
+→ render/restage → stage-2 decode (point prompts) → SAM2 masks → giou — at
+Qwen2.5-VL-3B/bf16 dims + SAM2-hiera-large dims on synthetic 768×768 tiles
+(BASELINE.md north star; ref rlvr_socioseg_vlm_pipeline_infer.py:617-919).
+Secondary: text prefill tokens/s (MXU ceiling) and engine decode tokens/s at
+8/24 slots (HBM ceiling).
 
-vs_baseline: ratio vs the H20 reference anchor. The reference publishes no
-numbers (BASELINE.md); we anchor on the H20's theoretical bf16 peak ratio
-(v5e 197 TFLOP/s vs H20 148 TFLOP/s dense ≈ 1.33) applied to measured MFU —
-i.e. vs_baseline = (our tokens/s) / (H20-peak-scaled tokens/s at same MFU=0.4
-reference assumption).
+Weights are random (no egress in the bench harness); decode output TEXT is a
+canned realistic response (the tokenizer's decode), so parsing/SAM/render see
+the production workload shape while the device does full real decode work.
+
+vs_baseline: measured tiles/s vs a **theoretical H20 model** (the reference
+publishes no numbers — BASELINE.md): per-tile time on one H20 modeled as
+bandwidth-bound decode (6.2 GB bf16 weights / 60% of 4.0 TB/s, shared over
+the batch) + compute-bound prefill/vision/SAM at 0.4 MFU of 148 TFLOP/s.
+Labeled `anchor: theoretical-h20-model` in detail.
 """
 
 import json
@@ -17,28 +24,161 @@ import time
 
 import numpy as np
 
+STAGE_RESPONSE = (
+    "<think>The map tile shows several residential blocks along the main "
+    "road; matching structures are visible in the satellite image at the "
+    "same coordinates.</think>\n<answer>" + json.dumps(
+        [{"bbox_2d": [40 + 80 * i, 60 + 70 * i, 160 + 80 * i, 180 + 70 * i],
+          "points": [[80 + 80 * i, 100 + 70 * i], [120 + 80 * i, 140 + 70 * i]]}
+         for i in range(6)]) + "</answer>")
 
-def main():
+
+def _bench_tokenizer():
+    """SimpleTokenizer whose decode() of a long id sequence returns a canned
+    realistic two-stage response (bboxes+points), so the host parse/SAM/render
+    path runs at production shape while decode does real device work."""
+    from socioreasoner_tpu.datasets.processor import SimpleTokenizer
+
+    class BenchTokenizer(SimpleTokenizer):
+        def __init__(self):
+            super().__init__(vocab_size=151936)
+            self.pad_token_id = 151643
+            self.eos_token_id = 151645
+
+        def decode(self, ids, skip_special_tokens=False):
+            # the infer pipeline only decodes RESPONSES — always hand back the
+            # canned realistic text so parsing/SAM/render see production shape
+            if len(ids) >= 1:
+                return STAGE_RESPONSE
+            return super().decode(ids, skip_special_tokens)
+
+    return BenchTokenizer()
+
+
+def bench_socioseg(n_tiles: int = 8, max_new: int = 256, tiny: bool = False):
+    """Full two-stage pipeline on synthetic tiles; returns (tiles/s, detail).
+
+    tiny=True (or env SOCIO_BENCH_TINY=1): scaled-down dims for a CPU plumbing
+    check — NOT a performance number."""
     import jax
     import jax.numpy as jnp
-    from socioreasoner_tpu.models.qwen2_5_vl.config import (
-        Qwen25VLConfig, TextConfig, VisionConfig)
+    from PIL import Image
+    from socioreasoner_tpu.configs.rlvr_config import SocioSegConfig
+    from socioreasoner_tpu.datasets.processor import (ImageProcessorConfig,
+                                                      SocioProcessor)
+    from socioreasoner_tpu.datasets.socioseg import encode_sample
+    from socioreasoner_tpu.models.qwen2_5_vl.config import (Qwen25VLConfig,
+                                                            TextConfig,
+                                                            VisionConfig)
+    from socioreasoner_tpu.models.qwen2_5_vl import model as qmodel
+    from socioreasoner_tpu.models.sam2.config import Sam2Config
+    from socioreasoner_tpu.models.sam2 import model as smodel
+    from socioreasoner_tpu.pipeline.rlvr.socioseg_infer_pipeline import (
+        SocioSegInferPipeline)
+
+    if tiny:
+        model_config = Qwen25VLConfig(
+            vision=VisionConfig(depth=2, hidden_size=64, intermediate_size=128,
+                                num_heads=4, out_hidden_size=64, window_size=28,
+                                fullatt_block_indexes=(1,)),
+            text=TextConfig(hidden_size=64, intermediate_size=128,
+                            num_hidden_layers=2, num_attention_heads=4,
+                            num_key_value_heads=2, head_dim=16,
+                            mrope_section=(2, 3, 3)))
+        sam_config = Sam2Config.tiny_test()
+        img_cfg = ImageProcessorConfig(min_pixels=56 * 56,
+                                       max_pixels=56 * 56 * 4)
+        tile_px, prompt_len, max_new = 96, 1024, min(max_new, 8)
+        buckets, max_len = (1024,), 1100
+    else:
+        model_config = Qwen25VLConfig()           # 3B dims incl. ViT
+        sam_config = Sam2Config.large()           # sam2-hiera-large dims
+        img_cfg = ImageProcessorConfig()
+        tile_px, prompt_len = 768, 4096
+        buckets, max_len = (1024, 2048, 4096), 4096
+    params = qmodel.init_params(model_config, jax.random.key(0),
+                                dtype=jnp.bfloat16, with_vision=True)
+    sam_params = smodel.init_params(sam_config, jax.random.key(1),
+                                    dtype=jnp.bfloat16)
+
+    processor = SocioProcessor(_bench_tokenizer(), img_cfg)
+
+    rng = np.random.default_rng(0)
+    tiles = []
+    for i in range(n_tiles):
+        mask = np.zeros((tile_px, tile_px), np.uint8)
+        mask[tile_px // 4:tile_px // 2, tile_px // 5:tile_px // 2] = 255
+        tiles.append({
+            "id": f"tile{i}",
+            "map": Image.fromarray(rng.integers(0, 255, (tile_px, tile_px, 3),
+                                                dtype=np.uint8)),
+            "sat": Image.fromarray(rng.integers(0, 255, (tile_px, tile_px, 3),
+                                                dtype=np.uint8)),
+            "mask": Image.fromarray(mask),
+            "question": "residential area",
+        })
+    dataset = [encode_sample(t, img_cfg) for t in tiles]
+
+    cfg = SocioSegConfig(rollout_batch_size=n_tiles, prompt_length=prompt_len,
+                         response_length=max_new, track_with="stdout")
+    cfg.actor_infer.generating_args.max_new_tokens = max_new
+    cfg.actor_infer.generating_args.temperature = 1.0
+    cfg.actor_infer.generating_args.top_p = 0.8      # ref infer yaml anchors
+    pipe = SocioSegInferPipeline(
+        cfg, model_config=model_config, policy_params=params,
+        sam_config=sam_config, sam_params=sam_params, processor=processor,
+        dataset=dataset,
+        engine_kwargs={"max_slots": n_tiles, "max_len": max_len,
+                       "decode_chunk": 64,
+                       "prefill_buckets": buckets,
+                       "cache_dtype": jnp.bfloat16})
+
+    pipe._two_stage(dataset)                      # warmup: all compiles
+    t0 = time.perf_counter()
+    out = pipe._two_stage(dataset)
+    dt = time.perf_counter() - t0
+    # realism check: the canned responses must actually drive SAM
+    n_mask_px = int(sum(m.sum() > 0 for m in out["s2_masks"]))
+    assert n_mask_px == n_tiles, "SAM path not exercised"
+    return n_tiles / dt, {
+        "tiles": n_tiles, "batch_latency_s": round(dt, 2),
+        "per_tile_latency_s": round(dt / n_tiles, 3),
+        "max_new_tokens_per_stage": max_new,
+        "objects_per_tile": 6, "tile_px": tile_px,
+    }
+
+
+def h20_theoretical_tiles_per_s(n_tiles: int, prompt_tokens: int,
+                                decode_tokens: int) -> float:
+    """Theoretical per-chip H20 model for the same workload (labeled anchor;
+    the reference publishes no measurements — BASELINE.md). Decode modeled
+    HBM-bound: weight reads amortized over the batch; prefill/vision/SAM
+    modeled at 0.4 MFU of dense bf16 peak."""
+    text_bytes = 6.2e9                      # 3.1B params bf16
+    hbm = 0.6 * 4.0e12                      # H20 4.0 TB/s at 60% efficiency
+    decode_s = decode_tokens * text_bytes / hbm            # per decode STEP
+    flops_prefill = 2 * 3.1e9 * prompt_tokens * n_tiles * 2   # two stages
+    flops_vision = 2 * 0.67e9 * 3000 * 2 * n_tiles * 2       # ViT ~0.67B
+    flops_sam = 2 * 0.22e9 * 4900 * n_tiles * 2              # hiera-L tokens
+    compute_s = (flops_prefill + flops_vision + flops_sam) / (0.4 * 148e12)
+    return n_tiles / (decode_s + compute_s)
+
+
+def bench_prefill():
+    import jax
+    import jax.numpy as jnp
+    from socioreasoner_tpu.models.qwen2_5_vl.config import Qwen25VLConfig
     from socioreasoner_tpu.models.qwen2_5_vl import model as qmodel
     from socioreasoner_tpu.models.qwen2_5_vl import rope as qrope
 
-    config = Qwen25VLConfig()  # full 3B text dims (36 layers)
-    key = jax.random.key(0)
-    params = qmodel.init_params(config, key, dtype=jnp.bfloat16, with_vision=False)
-
-    B, L = 1, 1024
+    config = Qwen25VLConfig()
+    params = qmodel.init_params(config, jax.random.key(0), dtype=jnp.bfloat16,
+                                with_vision=False)
+    B, L, iters = 1, 1024, 10
     rng = np.random.default_rng(0)
-    ids = rng.integers(10, 100000, size=(B, L))
-    attn = np.ones((B, L), np.int32)
-    pos, _ = qrope.get_rope_index(config, ids, None, attn)
-
-    iters = 10
-    # distinct inputs per iteration — defeats loop-invariant code motion / CSE
     ids_stack = rng.integers(10, 100000, size=(iters, B, L))
+    attn = np.ones((B, L), np.int32)
+    pos, _ = qrope.get_rope_index(config, ids_stack[0], None, attn)
 
     @jax.jit
     def fwd_loop(params, ids_stack, pos, attn):
@@ -49,24 +189,17 @@ def main():
             return c + hidden.astype(jnp.float32).mean()
         return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
 
-    ids_d, pos_d, attn_d = jnp.asarray(ids_stack), jnp.asarray(pos), jnp.asarray(attn)
-    float(fwd_loop(params, ids_d, pos_d, attn_d))  # compile + warmup
-
+    args = (params, jnp.asarray(ids_stack), jnp.asarray(pos), jnp.asarray(attn))
+    float(fwd_loop(*args))                      # compile + warmup
     t0 = time.perf_counter()
-    float(fwd_loop(params, ids_d, pos_d, attn_d))  # value fetch = real sync
+    float(fwd_loop(*args))
     dt = (time.perf_counter() - t0) / iters
-
     tokens_per_s = B * L / dt
-    # ~2*N_params FLOPs/token forward; 3B text params (no vocab head matmul here)
-    n_params = 3.1e9
-    flops_per_tok = 2 * n_params
-    mfu = tokens_per_s * flops_per_tok / 197e12
-    # H20 anchor: same MFU on 148 TFLOP/s dense bf16
-    h20_tokens_per_s = 0.4 * 148e12 / flops_per_tok
+    mfu = tokens_per_s * 2 * 3.1e9 / 197e12
+    return params, config, tokens_per_s, mfu, dt
 
-    # ---- decode throughput: engine chunked loop (paged pallas attention),
-    # at the RL rollout concurrency (8) and the serving concurrency (24,
-    # the example configs' infer_batch_size)
+
+def bench_decode(params, config, rng):
     from socioreasoner_tpu.generation.engine import DecodeEngine, Request
     from socioreasoner_tpu.generation.sampling import SamplingParams
 
@@ -86,20 +219,50 @@ def main():
         toks = sum(len(o.output_ids) for o in outs)
         return toks, toks / dt
 
-    decode_tokens, tps8 = decode_tps(8, 256)
+    _, tps8 = decode_tps(8, 256)
     _, tps24 = decode_tps(24, 128)
+    return tps8, tps24
+
+
+def main():
+    import os
+
+    import jax
+    rng = np.random.default_rng(0)
+
+    if os.environ.get("SOCIO_BENCH_TINY") == "1":
+        # CPU plumbing check only — runs the full two-stage path at toy dims
+        tiles_per_s, socio_detail = bench_socioseg(n_tiles=2, tiny=True)
+        print(json.dumps({"metric": "socioseg_tiles_per_s_per_chip",
+                          "value": round(tiles_per_s, 3), "unit": "tiles/s",
+                          "vs_baseline": 0.0,
+                          "detail": {**socio_detail, "tiny_plumbing_check": True}}))
+        return
+
+    tiles_per_s, socio_detail = bench_socioseg()
+    h20 = h20_theoretical_tiles_per_s(
+        socio_detail["tiles"], prompt_tokens=2048,
+        decode_tokens=2 * socio_detail["max_new_tokens_per_stage"])
+
+    params, config, prefill_tps, mfu, dt = bench_prefill()
+    tps8, tps24 = bench_decode(params, config, rng)
 
     print(json.dumps({
-        "metric": "qwen25vl3b_prefill_tokens_per_s_per_chip",
-        "value": round(tokens_per_s, 1),
-        "unit": "tokens/s",
-        "vs_baseline": round(tokens_per_s / h20_tokens_per_s, 3),
-        "detail": {"batch": B, "seq": L, "dtype": "bfloat16",
-                   "mfu_est": round(mfu, 3), "ms_per_iter": round(dt * 1e3, 2),
-                   "decode_tokens_per_s_8slots": round(tps8, 1),
-                   "decode_tokens_per_s_24slots": round(tps24, 1),
-                   "decode_tokens": decode_tokens,
-                   "device": str(jax.devices()[0])},
+        "metric": "socioseg_tiles_per_s_per_chip",
+        "value": round(tiles_per_s, 3),
+        "unit": "tiles/s",
+        "vs_baseline": round(tiles_per_s / h20, 3),
+        "detail": {
+            **socio_detail,
+            "anchor": "theoretical-h20-model",
+            "h20_model_tiles_per_s": round(h20, 3),
+            "prefill_tokens_per_s": round(prefill_tps, 1),
+            "prefill_mfu_est": round(mfu, 3),
+            "decode_tokens_per_s_8slots": round(tps8, 1),
+            "decode_tokens_per_s_24slots": round(tps24, 1),
+            "dtype": "bfloat16",
+            "device": str(jax.devices()[0]),
+        },
     }))
 
 

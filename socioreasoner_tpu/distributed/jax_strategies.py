@@ -102,20 +102,27 @@ class JaxTrainStrategy(TrainStrategy):
             schedule=getattr(ta, "lr_scheduler_type", "constant"))
         self.state = TrainState.create(params, self.optimizer)
         self.loss_cfg = loss_cfg or PPOLossConfig()
-        cp = self._make_cp(mesh)
+        cp, pp = self._parallel_plan(mesh)
         self._train_step = jax.jit(make_train_step(
-            model_config, self.loss_cfg, self.optimizer, cp=cp))
-        self._logprob_step = jax.jit(make_logprob_step(model_config, cp=cp))
+            model_config, self.loss_cfg, self.optimizer, cp=cp, pp=pp))
+        self._logprob_step = jax.jit(make_logprob_step(model_config, cp=cp,
+                                                       pp=pp))
         self.param_store.put("actor", self.state.params)
         self.ckpt = CheckpointManager(checkpoint_dir) if checkpoint_dir else None
 
-    def _make_cp(self, mesh):
-        """CP plan from strategy_args (ref training_args.py:35
-        context_parallel_size) — zigzag ring attention over the sp axis."""
+    def _parallel_plan(self, mesh):
+        """CP/PP plans from strategy_args (ref training_args.py:20,35
+        context_parallel_size / pipeline_model_parallel_size): CP = zigzag
+        ring attention over the sp axis; PP = GPipe microbatch schedule over
+        the pp axis."""
         from ..parallel.context_parallel import make_cp_config
-        cp_size = int(self.worker_config.strategy_args.config.get(
-            "context_parallel_size", 1)) if self.worker_config else 1
-        return make_cp_config(mesh, cp_size)
+        from ..parallel.pipeline_parallel import make_pp_config
+        cfg = (self.worker_config.strategy_args.config
+               if self.worker_config else {})
+        cp = make_cp_config(mesh, int(cfg.get("context_parallel_size", 1)))
+        pp = make_pp_config(mesh, int(cfg.get("pipeline_model_parallel_size", 1)),
+                            n_micro=int(cfg.get("pp_micro_batches", 0)))
+        return cp, pp
 
     @property
     def params(self):
@@ -169,8 +176,9 @@ class JaxInferStrategy(InferenceStrategy):
         if param_store is not None:
             self.param_store = param_store
         self._params = params
-        cp = JaxTrainStrategy._make_cp(self, mesh)
-        self._logprob_step = jax.jit(make_logprob_step(model_config, cp=cp))
+        cp, pp = JaxTrainStrategy._parallel_plan(self, mesh)
+        self._logprob_step = jax.jit(make_logprob_step(model_config, cp=cp,
+                                                       pp=pp))
 
     @property
     def params(self):

@@ -56,7 +56,7 @@ def make_optimizer(lr: float = 1e-6, weight_decay: float = 0.0, b1: float = 0.9,
 
 def _model_log_probs(config: Qwen25VLConfig, params, batch: Dict,
                      remat: bool, with_entropy: bool = True,
-                     use_flash: bool = False, cp=None):
+                     use_flash: bool = False, cp=None, pp=None):
     """Forward → (logp of next-token labels, entropy), both (B, L-1).
 
     With cp (context parallelism): the model returns logits in the zigzag
@@ -70,7 +70,7 @@ def _model_log_probs(config: Qwen25VLConfig, params, batch: Dict,
             batch.get("attention_mask"),
             image_embeds=batch.get("image_embeds"),
             vision_inputs=batch.get("vision_inputs"),
-            remat=remat, use_flash=use_flash)
+            remat=remat, use_flash=use_flash, pp=pp)
         shift_logits = logits[:, :-1]
         labels = ids[:, 1:]
         lp = log_probs_from_logits(shift_logits, labels)
@@ -97,7 +97,7 @@ def _model_log_probs(config: Qwen25VLConfig, params, batch: Dict,
 
 def make_train_step(config: Qwen25VLConfig, loss_cfg: PPOLossConfig,
                     optimizer: optax.GradientTransformation, remat: bool = True,
-                    cp=None
+                    cp=None, pp=None
                     ) -> Callable[[TrainState, Dict], Tuple[TrainState, Dict]]:
     """Build the jittable GRPO train step.
 
@@ -109,13 +109,13 @@ def make_train_step(config: Qwen25VLConfig, loss_cfg: PPOLossConfig,
     """
 
     from ..ops.flags import use_flash_attention
-    flash = use_flash_attention() and cp is None
+    flash = use_flash_attention() and cp is None and pp is None
 
     def train_step(state: TrainState, batch: Dict) -> Tuple[TrainState, Dict]:
         def loss_fn(params):
             lp, ent = _model_log_probs(config, params, batch, remat,
                                        with_entropy=True, use_flash=flash,
-                                       cp=cp)
+                                       cp=cp, pp=pp)
             resp = batch["response_mask"][:, 1:]
             return ppo_policy_loss(
                 lp, ent, batch["old_log_probs"], batch.get("ref_log_probs"),
@@ -132,16 +132,16 @@ def make_train_step(config: Qwen25VLConfig, loss_cfg: PPOLossConfig,
     return train_step
 
 
-def make_logprob_step(config: Qwen25VLConfig, remat: bool = False, cp=None
-                      ) -> Callable[[Any, Dict], Dict]:
+def make_logprob_step(config: Qwen25VLConfig, remat: bool = False, cp=None,
+                      pp=None) -> Callable[[Any, Dict], Dict]:
     """Forward-only: {"log_probs": (B,L-1), "entropy": (B,L-1)} masked to response.
     Uses the Pallas flash kernel on TPU (forward has no autodiff requirement)."""
     from ..ops.flags import use_flash_attention
-    flash = use_flash_attention() and cp is None
+    flash = use_flash_attention() and cp is None and pp is None
 
     def logprob_step(params, batch: Dict) -> Dict:
         lp, ent = _model_log_probs(config, params, batch, remat, use_flash=flash,
-                                   cp=cp)
+                                   cp=cp, pp=pp)
         resp = batch["response_mask"][:, 1:].astype(lp.dtype)
         return {"log_probs": lp * resp, "entropy": ent * resp}
 

@@ -161,9 +161,14 @@ class Qwen25VLConfig:
             mrope_section=tuple((t.get("rope_scaling") or {}).get("mrope_section", (16, 24, 24))),
             tie_word_embeddings=cfg.get("tie_word_embeddings", t.get("tie_word_embeddings", True)),
         )
-        raw_eos = cfg.get("eos_token_id", 151645)
-        eos_list = ([int(t) for t in raw_eos]
-                    if isinstance(raw_eos, (list, tuple)) else [int(raw_eos)])
+        # eos may be int, list (Llama-3 style), or explicit None in the json
+        raw_eos = cfg.get("eos_token_id")
+        if isinstance(raw_eos, (list, tuple)) and raw_eos:
+            eos_list = [int(t) for t in raw_eos]
+        elif isinstance(raw_eos, int):
+            eos_list = [raw_eos]
+        else:
+            eos_list = [151645]
         return cls(
             vision=vision, text=text,
             image_token_id=cfg.get("image_token_id", 151655),

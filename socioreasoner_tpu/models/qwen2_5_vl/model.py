@@ -58,6 +58,7 @@ def forward(
     logits: bool = True,
     use_flash: bool = False,
     cp=None,
+    pp=None,
 ) -> Tuple[jnp.ndarray, Optional[Dict]]:
     """Returns (logits or hidden, new_cache).
 
@@ -109,7 +110,8 @@ def forward(
     hidden, new_cache = text_decoder(
         tcfg, params, embeds, cos, sin, attention_mask,
         q_positions=q_positions, cache=cache, cache_positions=cache_positions,
-        remat=remat, use_flash=use_flash, cp=cp if cache is None else None)
+        remat=remat, use_flash=use_flash, cp=cp if cache is None else None,
+        pp=pp if cache is None else None)
     if not logits:
         return hidden, new_cache
     head = params.get("lm_head")

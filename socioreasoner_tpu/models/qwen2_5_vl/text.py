@@ -265,6 +265,7 @@ def text_decoder(
     remat: bool = False,
     use_flash: bool = False,
     cp=None,
+    pp=None,
 ) -> Tuple[jnp.ndarray, Optional[Dict]]:
     """Returns (B, L, hidden) final hidden states (post final norm) + updated cache."""
     B, L, _ = inputs_embeds.shape
@@ -278,6 +279,15 @@ def text_decoder(
         layer_fn = jax.checkpoint(layer_fn, static_argnums=(0,))
 
     if cache is None:
+        if pp is not None:
+            # GPipe microbatch schedule over the pp mesh axis (ref Megatron
+            # get_forward_backward_func role, megatron_strategy.py:140-148)
+            from ...parallel.pipeline_parallel import pipeline_decoder
+            assert cp is None, "PP and CP cannot combine (pick one seq plan)"
+            x = pipeline_decoder(cfg, params, inputs_embeds, cos, sin,
+                                 attention_mask, q_positions, pp, remat=remat)
+            new_cache = None
+            return rms_norm(x, params["final_ln"], cfg.rms_norm_eps), new_cache
         def body(h, p):
             h, _, aux = layer_fn(cfg, p, h, cos, sin, attention_mask, q_positions)
             return h, aux

@@ -200,8 +200,8 @@ def conv_transpose2x(x: jnp.ndarray, kernel: jnp.ndarray, bias) -> jnp.ndarray:
     the forward-conv HWIO layout required by transpose_kernel=True (exact torch
     ConvTranspose2d parity, verified in tests)."""
     out = jax.lax.conv_transpose(
-        x, kernel, strides=(2, 2), padding="VALID", transpose_kernel=True,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        x.astype(kernel.dtype), kernel, strides=(2, 2), padding="VALID",
+        transpose_kernel=True, dimension_numbers=("NHWC", "HWIO", "NHWC"))
     return out + bias
 
 

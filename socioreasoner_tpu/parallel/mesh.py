@@ -42,13 +42,17 @@ class MeshConfig:
 
 
 def make_mesh(dp: int = 1, fsdp: int = 1, tp: int = 1, sp: int = 1,
+              pp: int = 1,
               devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """pp (pipeline stages) sits outside sp/tp so a stage's tensor-parallel
+    group stays on adjacent devices (ICI) while activations stream between
+    stages (ref pipeline_model_parallel_size, training_args.py:20)."""
     devices = list(devices if devices is not None else jax.devices())
-    need = dp * fsdp * tp * sp
+    need = dp * fsdp * tp * sp * pp
     if len(devices) < need:
         raise ValueError(f"need {need} devices, have {len(devices)}")
-    arr = np.array(devices[:need]).reshape(dp, fsdp, sp, tp)
-    return Mesh(arr, axis_names=("dp", "fsdp", "sp", "tp"))
+    arr = np.array(devices[:need]).reshape(dp, fsdp, pp, sp, tp)
+    return Mesh(arr, axis_names=("dp", "fsdp", "pp", "sp", "tp"))
 
 
 def auto_mesh(n_devices: Optional[int] = None, tp: int = 1, sp: int = 1) -> Mesh:

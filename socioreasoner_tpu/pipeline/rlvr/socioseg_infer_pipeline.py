@@ -227,17 +227,14 @@ class SocioSegInferPipeline(BasePipeline):
 
     def _segment(self, batch: BatchProto, texts: List[str], stage: int
                  ) -> List[np.ndarray]:
+        """Batched SegStrategy path: one encoder call over every tile with
+        prompts, one decoder call for all tiles×objects (seg_strategy.py)."""
         from .parsing import parse_visual_prompts_s1, parse_visual_prompts_s2
         parser = parse_visual_prompts_s1 if stage == 1 else parse_visual_prompts_s2
-        masks = []
-        for i in range(len(batch)):
-            prompts = parser(texts[i])
-            image = batch.non_tensor["seg_image"][i]
-            if not prompts:
-                masks.append(np.zeros((768, 768), np.uint8))
-                continue
-            img = image if isinstance(image, Image.Image) else Image.fromarray(np.asarray(image))
-            self.seg_infer.predictor.set_image(img.resize((756, 756)))
-            masks.append(self.seg_infer.predictor.predict_objects_mask(
-                prompts, (768, 768)))
-        return masks
+        prompts = np.empty(len(batch), object)
+        prompts[:] = [parser(t) for t in texts]
+        seg_batch = BatchProto.from_dict(non_tensors={
+            "seg_image": batch.non_tensor["seg_image"],
+            "visual_prompt": prompts,
+        })
+        return [r["mask"] for r in self.seg_infer.segment(seg_batch)]

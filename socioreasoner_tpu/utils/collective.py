@@ -63,8 +63,18 @@ def barrier(name: str = "barrier"):
 
 def broadcast_host_data(data: Any, src: int = 0) -> Any:
     """Host-side object broadcast across processes (ref broadcast_object_list
-    role in get_data_input, megatron_strategy.py:98-125)."""
+    role in get_data_input, megatron_strategy.py:98-125).
+
+    Arbitrary picklable objects: non-src processes need not know the structure
+    (two-phase length-then-bytes broadcast, like torch broadcast_object_list)."""
     if jax.process_count() <= 1:
         return data
+    import pickle
     from jax.experimental import multihost_utils
-    return multihost_utils.broadcast_one_to_all(data, is_source=jax.process_index() == src)
+    is_src = jax.process_index() == src
+    buf = pickle.dumps(data) if is_src else b""
+    n = int(multihost_utils.broadcast_one_to_all(np.int64(len(buf)),
+                                                 is_source=is_src))
+    arr = np.frombuffer(buf, np.uint8) if is_src else np.zeros(n, np.uint8)
+    out = multihost_utils.broadcast_one_to_all(arr, is_source=is_src)
+    return data if is_src else pickle.loads(out.tobytes())
