@@ -102,11 +102,12 @@ class JaxTrainStrategy(TrainStrategy):
             schedule=getattr(ta, "lr_scheduler_type", "constant"))
         self.state = TrainState.create(params, self.optimizer)
         self.loss_cfg = loss_cfg or PPOLossConfig()
-        cp, pp = self._parallel_plan(mesh)
+        cp, pp, vp_mesh = self._parallel_plan(mesh)
         self._train_step = jax.jit(make_train_step(
-            model_config, self.loss_cfg, self.optimizer, cp=cp, pp=pp))
+            model_config, self.loss_cfg, self.optimizer, cp=cp, pp=pp,
+            vp_mesh=vp_mesh))
         self._logprob_step = jax.jit(make_logprob_step(model_config, cp=cp,
-                                                       pp=pp))
+                                                       pp=pp, vp_mesh=vp_mesh))
         self.param_store.put("actor", self.state.params)
         self.ckpt = CheckpointManager(checkpoint_dir) if checkpoint_dir else None
 
@@ -122,7 +123,10 @@ class JaxTrainStrategy(TrainStrategy):
         cp = make_cp_config(mesh, int(cfg.get("context_parallel_size", 1)))
         pp = make_pp_config(mesh, int(cfg.get("pipeline_model_parallel_size", 1)),
                             n_micro=int(cfg.get("pp_micro_batches", 0)))
-        return cp, pp
+        # opt-in explicit vocab-parallel token ops (ref vocab_parallel role)
+        vp_mesh = mesh if (cfg.get("vocab_parallel_logprobs") and cp is None
+                           and pp is None) else None
+        return cp, pp, vp_mesh
 
     @property
     def params(self):
@@ -176,9 +180,9 @@ class JaxInferStrategy(InferenceStrategy):
         if param_store is not None:
             self.param_store = param_store
         self._params = params
-        cp, pp = JaxTrainStrategy._parallel_plan(self, mesh)
+        cp, pp, vp_mesh = JaxTrainStrategy._parallel_plan(self, mesh)
         self._logprob_step = jax.jit(make_logprob_step(model_config, cp=cp,
-                                                       pp=pp))
+                                                       pp=pp, vp_mesh=vp_mesh))
 
     @property
     def params(self):

@@ -56,7 +56,7 @@ def make_optimizer(lr: float = 1e-6, weight_decay: float = 0.0, b1: float = 0.9,
 
 def _model_log_probs(config: Qwen25VLConfig, params, batch: Dict,
                      remat: bool, with_entropy: bool = True,
-                     use_flash: bool = False, cp=None, pp=None):
+                     use_flash: bool = False, cp=None, pp=None, vp_mesh=None):
     """Forward → (logp of next-token labels, entropy), both (B, L-1).
 
     With cp (context parallelism): the model returns logits in the zigzag
@@ -73,6 +73,23 @@ def _model_log_probs(config: Qwen25VLConfig, params, batch: Dict,
             remat=remat, use_flash=use_flash, pp=pp)
         shift_logits = logits[:, :-1]
         labels = ids[:, 1:]
+        if vp_mesh is not None:
+            # explicit vocab-parallel token ops (ref megatron_strategy.py:
+            # 216-237 via parallel_functions/vocab_parallel.py): pin the
+            # logits' vocab dim to the tp axis and reduce with shard_map
+            # collectives — the full (B, L, V) array never materializes on
+            # one device. GSPMD reaches the same collectives implicitly; this
+            # is the opt-in guaranteed-sharded path for big-vocab models.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from ..ops.vocab_parallel import (vocab_parallel_entropy,
+                                              vocab_parallel_log_probs)
+            shift_logits = jax.lax.with_sharding_constraint(
+                shift_logits,
+                NamedSharding(vp_mesh, P(("dp", "fsdp"), None, "tp")))
+            lp = vocab_parallel_log_probs(shift_logits, labels, vp_mesh)
+            ent = (vocab_parallel_entropy(shift_logits, vp_mesh)
+                   if with_entropy else jnp.zeros_like(lp))
+            return lp, ent
         lp = log_probs_from_logits(shift_logits, labels)
         ent = entropy_from_logits(shift_logits) if with_entropy else jnp.zeros_like(lp)
         return lp, ent
@@ -97,7 +114,7 @@ def _model_log_probs(config: Qwen25VLConfig, params, batch: Dict,
 
 def make_train_step(config: Qwen25VLConfig, loss_cfg: PPOLossConfig,
                     optimizer: optax.GradientTransformation, remat: bool = True,
-                    cp=None, pp=None
+                    cp=None, pp=None, vp_mesh=None
                     ) -> Callable[[TrainState, Dict], Tuple[TrainState, Dict]]:
     """Build the jittable GRPO train step.
 
@@ -115,7 +132,7 @@ def make_train_step(config: Qwen25VLConfig, loss_cfg: PPOLossConfig,
         def loss_fn(params):
             lp, ent = _model_log_probs(config, params, batch, remat,
                                        with_entropy=True, use_flash=flash,
-                                       cp=cp, pp=pp)
+                                       cp=cp, pp=pp, vp_mesh=vp_mesh)
             resp = batch["response_mask"][:, 1:]
             return ppo_policy_loss(
                 lp, ent, batch["old_log_probs"], batch.get("ref_log_probs"),
@@ -133,7 +150,7 @@ def make_train_step(config: Qwen25VLConfig, loss_cfg: PPOLossConfig,
 
 
 def make_logprob_step(config: Qwen25VLConfig, remat: bool = False, cp=None,
-                      pp=None) -> Callable[[Any, Dict], Dict]:
+                      pp=None, vp_mesh=None) -> Callable[[Any, Dict], Dict]:
     """Forward-only: {"log_probs": (B,L-1), "entropy": (B,L-1)} masked to response.
     Uses the Pallas flash kernel on TPU (forward has no autodiff requirement)."""
     from ..ops.flags import use_flash_attention
@@ -141,7 +158,7 @@ def make_logprob_step(config: Qwen25VLConfig, remat: bool = False, cp=None,
 
     def logprob_step(params, batch: Dict) -> Dict:
         lp, ent = _model_log_probs(config, params, batch, remat, use_flash=flash,
-                                   cp=cp, pp=pp)
+                                   cp=cp, pp=pp, vp_mesh=vp_mesh)
         resp = batch["response_mask"][:, 1:].astype(lp.dtype)
         return {"log_probs": lp * resp, "entropy": ent * resp}
 

@@ -53,21 +53,31 @@ def _local_entropy(logits, axis_name: str):
     return logz - pz
 
 
+def _batch_spec(mesh: Mesh, batch_axes) -> tuple:
+    present = tuple(a for a in batch_axes if a in mesh.axis_names)
+    return present if present else None
+
+
 def vocab_parallel_log_probs(logits: jnp.ndarray, labels: jnp.ndarray,
-                             mesh: Mesh, vocab_axis: str = "tp") -> jnp.ndarray:
-    """logits: (B, L, V) global, V sharded over `vocab_axis` → (B, L) logp."""
+                             mesh: Mesh, vocab_axis: str = "tp",
+                             batch_axes=("dp", "fsdp")) -> jnp.ndarray:
+    """logits: (B, L, V) global, V sharded over `vocab_axis`, B over
+    `batch_axes` → (B, L) logp."""
     from jax.experimental.shard_map import shard_map
+    b = _batch_spec(mesh, batch_axes)
     fn = functools.partial(_local_logprobs, axis_name=vocab_axis)
     return shard_map(
         fn, mesh=mesh,
-        in_specs=(P(None, None, vocab_axis), P(None, None)),
-        out_specs=P(None, None), check_rep=False)(logits, labels)
+        in_specs=(P(b, None, vocab_axis), P(b, None)),
+        out_specs=P(b, None), check_rep=False)(logits, labels)
 
 
 def vocab_parallel_entropy(logits: jnp.ndarray, mesh: Mesh,
-                           vocab_axis: str = "tp") -> jnp.ndarray:
+                           vocab_axis: str = "tp",
+                           batch_axes=("dp", "fsdp")) -> jnp.ndarray:
     from jax.experimental.shard_map import shard_map
+    b = _batch_spec(mesh, batch_axes)
     fn = functools.partial(_local_entropy, axis_name=vocab_axis)
     return shard_map(
-        fn, mesh=mesh, in_specs=(P(None, None, vocab_axis),),
-        out_specs=P(None, None), check_rep=False)(logits)
+        fn, mesh=mesh, in_specs=(P(b, None, vocab_axis),),
+        out_specs=P(b, None), check_rep=False)(logits)

@@ -115,7 +115,7 @@ def test_vocab_parallel_ops(mesh8):
     from socioreasoner_tpu.utils.functionals import (entropy_from_logits,
                                                      log_probs_from_logits)
     rng = np.random.default_rng(0)
-    B, L, V = 2, 6, 64   # V sharded 8 ways → 8 per shard
+    B, L, V = 4, 6, 64   # V sharded over tp; B over (dp, fsdp)
     logits = jnp.asarray(rng.normal(size=(B, L, V)).astype(np.float32))
     labels = jnp.asarray(rng.integers(0, V, size=(B, L)))
     want_lp = log_probs_from_logits(logits, labels)

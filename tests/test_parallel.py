@@ -259,3 +259,46 @@ def test_strategy_honors_context_parallel_knob(mesh8):
         lp = strat.compute_log_probs(batch)
     assert np.isfinite(metrics["actor_train/total_loss"])
     assert lp["log_probs"].shape == (B, L - 1)
+
+
+def test_strategy_vocab_parallel_logprobs(mesh8):
+    """strategy_config.vocab_parallel_logprobs routes token ops through the
+    explicit shard_map vocab-parallel path; results match the dense path
+    (ref megatron_strategy.py:216-237 role)."""
+    from socioreasoner_tpu.configs.worker_config import (StrategyArguments,
+                                                         WorkerConfig)
+    from socioreasoner_tpu.distributed.jax_strategies import JaxInferStrategy
+    from socioreasoner_tpu.models.qwen2_5_vl.config import Qwen25VLConfig
+    from socioreasoner_tpu.models.qwen2_5_vl import model as qmodel
+    from socioreasoner_tpu.models.qwen2_5_vl import rope as qrope
+    from socioreasoner_tpu.parallel.sharding import shard_params
+    from socioreasoner_tpu.protocol import BatchProto
+
+    config = Qwen25VLConfig.tiny()
+    params = shard_params(
+        qmodel.init_params(config, jax.random.key(0), with_vision=False), mesh8)
+    B, L = 4, 12
+    rng = np.random.default_rng(1)
+    ids = rng.integers(2, 200, size=(B, L))
+    attn = np.ones((B, L), np.int64)
+    pos, _ = qrope.get_rope_index(config, ids, None, attn)
+    resp = np.zeros((B, L), np.int32)
+    resp[:, L // 2:] = 1
+    batch = BatchProto.from_dict(tensors={
+        "input_ids": ids, "attention_mask": attn, "position_ids": pos,
+        "response_mask": resp})
+
+    def run(strategy_config):
+        wc = WorkerConfig(strategy_args=StrategyArguments(
+            strategy_name="jax_infer", strategy_config=strategy_config))
+        strat = JaxInferStrategy(worker_config=wc)
+        strat.initialize(config, params, mesh=mesh8)
+        with jax.sharding.set_mesh(mesh8):
+            return strat.compute_log_probs(batch)
+
+    dense = run({})
+    vp = run({"vocab_parallel_logprobs": True})
+    np.testing.assert_allclose(vp["log_probs"], dense["log_probs"],
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(vp["entropy"], dense["entropy"],
+                               rtol=1e-5, atol=1e-5)
