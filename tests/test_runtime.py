@@ -157,6 +157,47 @@ def test_exception_monitor():
         mon.record("w1", ValueError("y"))
 
 
+class _FailingWorker(Worker):
+    @register(dispatch_mode=Dispatch.ONE_TO_ALL)
+    def boom(self):
+        raise ValueError(f"worker {self.rank_info.rank} exploded")
+
+
+def test_worker_exception_propagates_to_driver(tmp_path):
+    """The reference surfaces remote exceptions to the driver with traceback
+    (decorator.py:263-277 re-raise + LogMonitor/ExceptionMonitor). Here the
+    thread-pool futures must do the same: a raising worker method propagates
+    through both the blocking call and the lazy handle, the ExceptionMonitor
+    records it with the original traceback, and the per-worker logfile gets
+    the error line."""
+    import logging
+    from socioreasoner_tpu.runtime.log_monitor import (ExceptionMonitor,
+                                                       setup_worker_logger)
+
+    cluster = Cluster("bad", _FailingWorker, WorkerConfig(world_size=2))
+    with pytest.raises(ValueError, match="exploded"):
+        cluster.boom()
+    lazy = cluster.boom(blocking=False)
+    with pytest.raises(ValueError, match="exploded"):
+        lazy.get()
+
+    # driver-side monitoring: record → traceback preserved → threshold abort
+    mon = ExceptionMonitor(stop_threshold=1)
+    logger = setup_worker_logger("bad_worker", log_dir=str(tmp_path))
+    try:
+        cluster.boom()
+    except ValueError as e:
+        logger.error("rpc failed: %r", e)
+        with pytest.raises(RuntimeError, match="1 worker failure"):
+            mon.record("bad_worker", e)
+    summary = mon.error_summary()
+    assert summary and "exploded" in summary[0]["error"]
+    assert "in boom" in summary[0]["traceback"]      # original frame retained
+    logging.shutdown()
+    logged = (tmp_path / "bad_worker.log").read_text()
+    assert "rpc failed" in logged and "exploded" in logged
+
+
 def test_trackers(tmp_path):
     from socioreasoner_tpu.utils.tracking import create_tracker
     t = create_tracker("file", log_dir=str(tmp_path))
