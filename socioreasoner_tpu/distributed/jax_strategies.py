@@ -122,7 +122,9 @@ class JaxTrainStrategy(TrainStrategy):
                if self.worker_config else {})
         cp = make_cp_config(mesh, int(cfg.get("context_parallel_size", 1)))
         pp = make_pp_config(mesh, int(cfg.get("pipeline_model_parallel_size", 1)),
-                            n_micro=int(cfg.get("pp_micro_batches", 0)))
+                            n_micro=int(cfg.get("pp_micro_batches", 0)),
+                            vpp=int(cfg.get(
+                                "virtual_pipeline_model_parallel_size", 1) or 1))
         # opt-in explicit vocab-parallel token ops (ref vocab_parallel role)
         vp_mesh = mesh if (cfg.get("vocab_parallel_logprobs") and cp is None
                            and pp is None) else None

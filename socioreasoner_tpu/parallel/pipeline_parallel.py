@@ -33,6 +33,11 @@ class PPConfig:
     size: int
     axis: str = "pp"
     n_micro: int = 0          # 0 → one microbatch per stage
+    vpp: int = 1              # virtual pipeline chunks per stage (ref
+    #                           training_args.py:31 virtual_pipeline_model_
+    #                           parallel_size): each device holds vpp
+    #                           non-contiguous layer chunks; the interleaved
+    #                           schedule shrinks the bubble by ~1/vpp
 
     def __post_init__(self):
         ax = dict(zip(self.mesh.axis_names, self.mesh.devices.shape))
@@ -40,6 +45,8 @@ class PPConfig:
             raise ValueError(
                 f"pipeline_model_parallel_size={self.size} but mesh axis "
                 f"{self.axis!r} has size {ax.get(self.axis, 1)}")
+        if self.vpp < 1:
+            raise ValueError(f"vpp must be >= 1, got {self.vpp}")
 
     @property
     def micro(self) -> int:
@@ -47,14 +54,15 @@ class PPConfig:
 
 
 def make_pp_config(mesh: Optional[Mesh], pipeline_model_parallel_size: int,
-                   n_micro: int = 0, axis: str = "pp") -> Optional[PPConfig]:
+                   n_micro: int = 0, axis: str = "pp",
+                   vpp: int = 1) -> Optional[PPConfig]:
     if pipeline_model_parallel_size <= 1:
         return None
     if mesh is None:
         raise ValueError("pipeline_model_parallel_size > 1 requires an "
                          "explicit mesh with a 'pp' axis")
     return PPConfig(mesh=mesh, size=pipeline_model_parallel_size,
-                    axis=axis, n_micro=n_micro)
+                    axis=axis, n_micro=n_micro, vpp=max(int(vpp), 1))
 
 
 def pipeline_forward(
@@ -126,6 +134,177 @@ def pipeline_forward(
             stacked_params, x)
 
 
+# ------------------------------------------------------------ interleaved VPP
+
+def _interleaved_schedule(S: int, vpp: int, n_micro: int):
+    """Static list-schedule for the interleaved virtual-pipeline forward.
+
+    Virtual stage v ∈ [0, S*vpp) lives on device v % S as its chunk v // S.
+    Work item (m, v) takes one tick; its output transfers to device
+    (v%S + 1) % S during the same tick and is usable the next tick. Each
+    device runs at most one item per tick, picking the ready item that comes
+    first in Megatron's interleaved order (microbatch groups of S: group-major,
+    then chunk, then microbatch — get_forward_backward_func interleaving).
+
+    Returns numpy tables of shape (T, S):
+      exec_k, exec_m, exec_valid — what each device computes at tick t
+      recv_k, recv_m, recv_valid — where each device stores what it receives
+                                   (from device s-1) at the end of tick t
+    """
+    import numpy as np
+
+    if n_micro % S:
+        # Megatron asserts this for interleaving (microbatch groups of S);
+        # without it the greedy schedule degrades to GPipe-round latency
+        raise ValueError(f"interleaved vpp needs n_micro % pp == 0 "
+                         f"(got {n_micro} % {S})")
+    V = S * vpp
+    finish = {}
+    items = {s: [] for s in range(S)}
+    for s in range(S):
+        per_dev = [(m, k * S + s) for m in range(n_micro) for k in range(vpp)]
+        # Megatron interleaved order: microbatch group (m // S), then chunk,
+        # then microbatch within the group
+        per_dev.sort(key=lambda it: (it[0] // S, it[1] // S, it[0] % S))
+        items[s] = per_dev
+
+    done = {s: set() for s in range(S)}
+    exec_k, exec_m, exec_valid = [], [], []
+    total = n_micro * V
+    scheduled = 0
+    t = 0
+    max_ticks = total * (S + vpp) + S + 5   # safety bound
+    while scheduled < total and t < max_ticks:
+        row_k = np.zeros(S, np.int32)
+        row_m = np.zeros(S, np.int32)
+        row_v = np.zeros(S, bool)
+        for s in range(S):
+            for (m, v) in items[s]:
+                if (m, v) in done[s]:
+                    continue
+                ready = v == 0 or finish.get((m, v - 1), 1 << 30) < t
+                if ready:
+                    row_k[s] = v // S
+                    row_m[s] = m
+                    row_v[s] = True
+                    finish[(m, v)] = t
+                    done[s].add((m, v))
+                    scheduled += 1
+                    break
+        exec_k.append(row_k)
+        exec_m.append(row_m)
+        exec_valid.append(row_v)
+        t += 1
+    assert scheduled == total, "interleaved schedule failed to place all items"
+    T = len(exec_k)
+    exec_k = np.stack(exec_k)
+    exec_m = np.stack(exec_m)
+    exec_valid = np.stack(exec_valid)
+
+    recv_k = np.zeros((T, S), np.int32)
+    recv_m = np.zeros((T, S), np.int32)
+    recv_valid = np.zeros((T, S), bool)
+    for t in range(T):
+        for s in range(S):
+            if not exec_valid[t, s]:
+                continue
+            v = exec_k[t, s] * S + s
+            if v + 1 >= V:
+                continue                      # final virtual stage: no send
+            dst = (s + 1) % S
+            recv_k[t, dst] = (v + 1) // S
+            recv_m[t, dst] = exec_m[t, s]
+            recv_valid[t, dst] = True
+    return exec_k, exec_m, exec_valid, recv_k, recv_m, recv_valid
+
+
+def pipeline_forward_interleaved(
+    layer_fn: Callable[[Any, Any], Any],
+    stacked_params: Any,           # (L, ...) pytree in ORIGINAL layer order
+    x: Any,                        # pytree of (n_micro, mb, ...) microbatched
+    mesh: Mesh,
+    vpp: int,
+    axis: str = "pp",
+) -> Any:
+    """Interleaved virtual-pipeline (VPP) forward: device s holds the vpp
+    layer chunks of virtual stages {k*S + s}, microbatches stream through all
+    S*vpp chunks ring-wise (ref Megatron interleaved
+    get_forward_backward_func, training_args.py:31). The bubble shrinks from
+    (S-1)/(n+S-1) to ~(S-1)/(vpp·n + S-1) at the cost of buffering in-flight
+    activations per chunk. Static schedule tables drive every tick, so the
+    whole thing jits to one fori_loop and differentiates through ppermute."""
+    import numpy as np
+    from jax.experimental.shard_map import shard_map
+
+    S = mesh.shape[axis]
+    n_micro = jax.tree.leaves(x)[0].shape[0]
+    L = jax.tree.leaves(stacked_params)[0].shape[0]
+    V = S * vpp
+    if L % V:
+        raise ValueError(f"{L} layers not divisible by pp×vpp={V}")
+    per = L // V
+
+    # reorder layers so the P(axis) shard of device s is its vpp chunks
+    # (virtual stages k*S+s), k-major — locally reshaped to (vpp, per, ...)
+    idx = np.concatenate([np.arange((k * S + s) * per, (k * S + s + 1) * per)
+                          for s in range(S) for k in range(vpp)])
+    reordered = jax.tree.map(lambda p: p[idx], stacked_params)
+
+    ek, em, ev, rk, rm, rv = _interleaved_schedule(S, vpp, n_micro)
+    T = ek.shape[0]
+    tables = tuple(jnp.asarray(a) for a in (ek, em, ev, rk, rm, rv))
+
+    def stage_body(local_params, x_local, ek, em, ev, rk, rm, rv):
+        stage = jax.lax.axis_index(axis)
+        chunks = jax.tree.map(
+            lambda p: p.reshape((vpp, per) + p.shape[1:]), local_params)
+        perm = [(i, (i + 1) % S) for i in range(S)]   # ring (chunk wrap S-1→0)
+
+        def run_chunk(k, h):
+            p_k = jax.tree.map(
+                lambda c: jax.lax.dynamic_index_in_dim(c, k, keepdims=False),
+                chunks)
+            def body(carry, p):
+                return layer_fn(p, carry), None
+            out, _ = jax.lax.scan(body, h, p_k)
+            return out
+
+        def tick(t, carry):
+            buffer, outputs, = carry
+            k, m, valid = ek[t, stage], em[t, stage], ev[t, stage]
+            first = (k == 0) & (stage == 0)
+            x_in = jax.tree.map(
+                lambda xl, b: jnp.where(first, xl[m], b[k, m]), x_local, buffer)
+            h = run_chunk(k, x_in)
+            last = valid & (k == vpp - 1) & (stage == S - 1)
+            outputs = jax.tree.map(
+                lambda o, hh: o.at[m].set(jnp.where(last, hh, o[m])),
+                outputs, h)
+            sent = jax.tree.map(lambda a: jax.lax.ppermute(a, axis, perm), h)
+            kr, mr, vr = rk[t, stage], rm[t, stage], rv[t, stage]
+            buffer = jax.tree.map(
+                lambda b, ss: b.at[kr, mr].set(jnp.where(vr, ss, b[kr, mr])),
+                buffer, sent)
+            return (buffer, outputs)
+
+        buffer0 = jax.tree.map(
+            lambda xl: jnp.zeros((vpp,) + xl.shape, xl.dtype), x_local)
+        outputs0 = jax.tree.map(jnp.zeros_like, x_local)
+        _, outputs = jax.lax.fori_loop(0, T, tick, (buffer0, outputs0))
+        mask = (stage == S - 1)
+        return jax.tree.map(
+            lambda o: jax.lax.psum(o * mask.astype(o.dtype), axis), outputs)
+
+    param_specs = jax.tree.map(lambda _: P(axis), reordered)
+    x_specs = jax.tree.map(lambda _: P(), x)
+    t_spec = P()
+    return shard_map(
+        stage_body, mesh=mesh,
+        in_specs=(param_specs, x_specs) + (t_spec,) * 6,
+        out_specs=jax.tree.map(lambda _: P(), x), check_rep=False)(
+            reordered, x, *tables)
+
+
 def pipeline_decoder(cfg, params: dict, inputs_embeds, cos, sin,
                      attention_mask, q_positions, pp: PPConfig,
                      remat: bool = False):
@@ -164,6 +343,11 @@ def pipeline_decoder(cfg, params: dict, inputs_embeds, cos, sin,
 
     carry = (split(inputs_embeds), split(cos), split(sin),
              split(attention_mask), split(q_positions))
-    out = pipeline_forward(layer_fn, params["layers"], carry,
-                           mesh=pp.mesh, axis=pp.axis)
+    if pp.vpp > 1:
+        out = pipeline_forward_interleaved(layer_fn, params["layers"], carry,
+                                           mesh=pp.mesh, vpp=pp.vpp,
+                                           axis=pp.axis)
+    else:
+        out = pipeline_forward(layer_fn, params["layers"], carry,
+                               mesh=pp.mesh, axis=pp.axis)
     return out[0].reshape(B, L, Hd)
