@@ -239,13 +239,22 @@ def main():
                           "detail": {**socio_detail, "tiny_plumbing_check": True}}))
         return
 
+    import gc
+    import sys
+
     tiles_per_s, socio_detail = bench_socioseg()
     h20 = h20_theoretical_tiles_per_s(
         socio_detail["tiles"], prompt_tokens=2048,
         decode_tokens=2 * socio_detail["max_new_tokens_per_stage"])
+    print(f"[bench] socioseg {tiles_per_s:.3f} tiles/s", file=sys.stderr)
+    # free the socioseg pipeline's 3B+ViT+SAM params/caches before the prefill
+    # phase allocates its own 3B copy — together they exceed v5e's 16 GB HBM
+    gc.collect()
 
     params, config, prefill_tps, mfu, dt = bench_prefill()
+    print(f"[bench] prefill {prefill_tps:.0f} tok/s", file=sys.stderr)
     tps8, tps24 = bench_decode(params, config, rng)
+    print(f"[bench] decode {tps8:.0f}/{tps24:.0f} tok/s @8/24", file=sys.stderr)
 
     print(json.dumps({
         "metric": "socioseg_tiles_per_s_per_chip",
