@@ -200,6 +200,12 @@ def bench_prefill():
 
 
 def bench_decode(params, config, rng):
+    """Engine throughput at serving concurrency.
+
+    Reports (a) e2e tokens/s incl. batched-prefill admission (the number a
+    serving user sees for short generations) and (b) steady-state decode-only
+    tokens/s (the HBM-roofline number). Both exclude compile: the batch runs
+    twice and the second run is measured."""
     from socioreasoner_tpu.generation.engine import DecodeEngine, Request
     from socioreasoner_tpu.generation.sampling import SamplingParams
 
@@ -208,20 +214,33 @@ def bench_decode(params, config, rng):
                               decode_chunk=64, prefill_buckets=(512,))
         sp = SamplingParams(temperature=1.0, top_p=0.9, top_k=50,
                             max_new_tokens=max_new)
-        reqs = [Request(request_id=i,
-                        prompt_ids=rng.integers(10, 100000, size=400).tolist(),
-                        sampling=sp) for i in range(slots)]
-        engine.generate([Request(request_id="warm", prompt_ids=reqs[0].prompt_ids,
-                                 sampling=SamplingParams(max_new_tokens=33))])
-        t0 = time.perf_counter()
-        outs = engine.generate(reqs)
-        dt = time.perf_counter() - t0
-        toks = sum(len(o.output_ids) for o in outs)
-        return toks, toks / dt
 
-    _, tps8 = decode_tps(8, 256)
-    _, tps24 = decode_tps(24, 128)
-    return tps8, tps24
+        def make_reqs(tag):
+            return [Request(request_id=(tag, i),
+                            prompt_ids=rng.integers(10, 100000,
+                                                    size=400).tolist(),
+                            sampling=sp) for i in range(slots)]
+
+        engine.generate(make_reqs("warm"))          # compiles prefill + decode
+        reqs = make_reqs("run")
+        for r in reqs:
+            engine.waiting.append(r)
+        t0 = time.perf_counter()
+        outs = engine.step()                        # batched prefill + chunk 1
+        t1 = time.perf_counter()
+        nsteps = 0
+        while engine.has_work():
+            outs += engine.step()
+            nsteps += engine.decode_chunk
+        t2 = time.perf_counter()
+        toks = sum(len(o.output_ids) for o in outs)
+        e2e = toks / (t2 - t0)
+        steady = slots * nsteps / (t2 - t1)
+        return e2e, steady
+
+    e2e8, steady8 = decode_tps(8, 256)
+    e2e24, steady24 = decode_tps(24, 128)
+    return e2e8, steady8, e2e24, steady24
 
 
 def main():
@@ -253,8 +272,9 @@ def main():
 
     params, config, prefill_tps, mfu, dt = bench_prefill()
     print(f"[bench] prefill {prefill_tps:.0f} tok/s", file=sys.stderr)
-    tps8, tps24 = bench_decode(params, config, rng)
-    print(f"[bench] decode {tps8:.0f}/{tps24:.0f} tok/s @8/24", file=sys.stderr)
+    e2e8, steady8, e2e24, steady24 = bench_decode(params, config, rng)
+    print(f"[bench] decode e2e {e2e8:.0f}/{e2e24:.0f}, steady "
+          f"{steady8:.0f}/{steady24:.0f} tok/s @8/24", file=sys.stderr)
 
     print(json.dumps({
         "metric": "socioseg_tiles_per_s_per_chip",
@@ -267,8 +287,10 @@ def main():
             "h20_model_tiles_per_s": round(h20, 3),
             "prefill_tokens_per_s": round(prefill_tps, 1),
             "prefill_mfu_est": round(mfu, 3),
-            "decode_tokens_per_s_8slots": round(tps8, 1),
-            "decode_tokens_per_s_24slots": round(tps24, 1),
+            "decode_tokens_per_s_8slots": round(e2e8, 1),
+            "decode_tokens_per_s_24slots": round(e2e24, 1),
+            "decode_steady_state_tokens_per_s_8slots": round(steady8, 1),
+            "decode_steady_state_tokens_per_s_24slots": round(steady24, 1),
             "dtype": "bfloat16",
             "device": str(jax.devices()[0]),
         },

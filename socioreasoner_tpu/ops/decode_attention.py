@@ -67,6 +67,9 @@ def _decode_kernel(len_ref, *rest, block_k: int,
     def run(k_scratch, v_scratch, sem, ks_scratch=None, vs_scratch=None,
             ssem=None):
         def copies(j, s):
+            # per-slot copies: a single grouped DMA with a strided slot dim
+            # (`.at[pl.ds(base, group), pl.ds(...)]`) DEADLOCKS the axon v5e
+            # backend (hung device, needs ~3 min recovery) — do not regroup
             out = []
             for i in range(group):
                 out.append(pltpu.make_async_copy(

@@ -224,3 +224,36 @@ def test_engine_admission_error_isolated(setup):
     assert by_id["good"].finish_reason in ("stop", "length")
     assert by_id["good"].output_ids == naive_greedy(config, params, good, 4)
     assert not engine.has_work() and len(engine.free_slots) == engine.S
+
+
+def test_engine_batched_prefill_matches_sequential(setup):
+    """Batched admission (one prefill call for a group, incl. contiguously
+    concatenated image embeds) must emit exactly what one-request-at-a-time
+    admission emits (greedy)."""
+    config, params = setup
+    H = config.text.hidden_size
+    img_tok = config.image_token_id
+
+    def make_reqs():
+        rng = np.random.default_rng(11)
+        reqs = []
+        for i, (n_txt, n_img) in enumerate([(6, 3), (4, 5), (9, 0)]):
+            ids = rng.integers(2, 200, size=n_txt + n_img).tolist()
+            ids[1:1 + n_img] = [img_tok] * n_img
+            embeds = (rng.normal(size=(n_img, H)).astype(np.float32)
+                      if n_img else None)
+            reqs.append(Request(request_id=i, prompt_ids=ids,
+                                sampling=greedy_params(6),
+                                image_embeds=embeds))
+        return reqs
+
+    def run(batch_buckets):
+        eng = DecodeEngine(config, params, max_slots=3, max_len=64,
+                           decode_chunk=3, prefill_buckets=(16,),
+                           image_buckets=(0, 8), cache_dtype=jnp.float32)
+        eng._prefill_batch_buckets = batch_buckets
+        return [o.output_ids for o in eng.generate(make_reqs())]
+
+    seq = run((1,))
+    bat = run((1, 2, 4))
+    assert bat == seq
