@@ -77,7 +77,7 @@ def main():
             return q * (lengths[:, None, None] > 0)
         da.paged_decode_attention = fake_paged
         import socioreasoner_tpu.models.qwen2_5_vl.text  # noqa: F401 (late import target)
-    elif variant not in ("base", "chunk128"):
+    elif variant not in ("base", "chunk128", "int8"):
         raise SystemExit(f"unknown variant {variant}")
 
     config = Qwen25VLConfig()
@@ -86,7 +86,8 @@ def main():
     rng = np.random.default_rng(0)
     chunk = 128 if variant == "chunk128" else 64
     engine = DecodeEngine(config, params, max_slots=24, max_len=1536,
-                          decode_chunk=chunk, prefill_buckets=(512,))
+                          decode_chunk=chunk, prefill_buckets=(512,),
+                          weight_quant="int8" if variant == "int8" else None)
     sp = SamplingParams(temperature=1.0, top_p=0.9, top_k=50,
                         max_new_tokens=257)
     reqs = [Request(request_id=i,
@@ -100,6 +101,10 @@ def main():
     t0 = time.perf_counter()
     outs = engine.step()            # 24 prefills + first decode chunk
     t1 = time.perf_counter()
+    for o in outs:
+        if o.finish_reason == "error":
+            print(f"ERROR req {o.request_id}: {(o.meta or {}).get('error')}",
+                  flush=True)
     nsteps = 0
     while engine.has_work():
         outs += engine.step()       # pure decode chunks

@@ -234,7 +234,7 @@ class JaxDecodeStrategy(InferenceStrategy):
                 f"requests ({self.engine.num_running()} running, "
                 f"{self.engine.num_waiting()} waiting); drain/stop generation "
                 "before swapping weights")
-        self.engine.params = self.param_store.get("rollout")
+        self.engine.set_params(self.param_store.get("rollout"))
 
     # ------------------------------------------------------------- batch mode
     def generate(self, batch: BatchProto, generating_args) -> np.ndarray:

@@ -114,10 +114,8 @@ def forward(
         pp=pp if cache is None else None)
     if not logits:
         return hidden, new_cache
-    head = params.get("lm_head")
-    if head is None:
-        head = params["embed"].T
-    return hidden @ head, new_cache
+    from ...ops.quant import head_logits
+    return head_logits(params, hidden), new_cache
 
 
 # ------------------------------------------------------------------ random init

@@ -186,12 +186,14 @@ def _decoder_cached_unrolled(cfg: TextConfig, params: Dict, x, cos, sin,
     if use_flash and L == 1 and cfg.head_dim % 128 == 0:
         from ...ops.decode_attention import paged_decode_attention
 
+    from ...ops.quant import matmul_q
+
     for i in range(cfg.num_hidden_layers):
         p = {key: arr[i] for key, arr in params["layers"].items()}
         h = rms_norm(x, p["input_ln"], cfg.rms_norm_eps)
-        q = (h @ p["q_w"] + p["q_b"]).reshape(B, L, H, D)
-        k = (h @ p["k_w"] + p["k_b"]).reshape(B, L, Hkv, D)
-        v = (h @ p["v_w"] + p["v_b"]).reshape(B, L, Hkv, D)
+        q = (matmul_q(h, p, "q_w") + p["q_b"]).reshape(B, L, H, D)
+        k = (matmul_q(h, p, "k_w") + p["k_b"]).reshape(B, L, Hkv, D)
+        v = (matmul_q(h, p, "v_w") + p["v_b"]).reshape(B, L, Hkv, D)
         if cfg.use_qk_norm:
             q = rms_norm(q, p["q_norm"], cfg.rms_norm_eps)
             k = rms_norm(k, p["k_norm"], cfg.rms_norm_eps)
@@ -228,7 +230,7 @@ def _decoder_cached_unrolled(cfg: TextConfig, params: Dict, x, cos, sin,
                                   attention_mask=kv_valid,
                                   q_positions=cache_positions,
                                   kv_positions=kv_pos)
-        x = x + out.reshape(B, L, H * D) @ p["o_w"]
+        x = x + matmul_q(out.reshape(B, L, H * D), p, "o_w")
 
         h2 = rms_norm(x, p["post_ln"], cfg.rms_norm_eps)
         if cfg.n_experts:
@@ -242,6 +244,10 @@ def _decoder_cached_unrolled(cfg: TextConfig, params: Dict, x, cos, sin,
                 shared = swiglu(h2, p["s_gate_w"], p["s_up_w"], p["s_down_w"])
                 moe_out = moe_out + jax.nn.sigmoid(h2 @ p["sgate_w"]) * shared
             x = x + moe_out
+        elif p["gate_w"].dtype == jnp.int8:     # weight-only int8 decode path
+            act = (jax.nn.silu(matmul_q(h2, p, "gate_w").astype(jnp.float32))
+                   * matmul_q(h2, p, "up_w").astype(jnp.float32))
+            x = x + matmul_q(act.astype(h2.dtype), p, "down_w")
         else:
             x = x + swiglu(h2, p["gate_w"], p["up_w"], p["down_w"])
 

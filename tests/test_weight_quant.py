@@ -1,0 +1,107 @@
+"""Weight-only int8 decode path (ops/quant.py): numeric closeness of the
+quantized forward to full precision, and the engine knob end-to-end."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from socioreasoner_tpu.models.qwen2_5_vl.config import Qwen25VLConfig
+from socioreasoner_tpu.models.qwen2_5_vl import model as qmodel
+from socioreasoner_tpu.generation.engine import DecodeEngine, Request
+from socioreasoner_tpu.generation.sampling import SamplingParams
+from socioreasoner_tpu.ops.quant import (quantize_decode_params,
+                                         quantize_weight)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    config = Qwen25VLConfig.tiny()
+    params = qmodel.init_params(config, jax.random.key(7), dtype=jnp.float32,
+                                with_vision=False)
+    return config, params
+
+
+def test_quantize_weight_roundtrip():
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.normal(size=(4, 32, 64)) * 0.02, jnp.float32)
+    q, s = quantize_weight(w, axis=-2)
+    assert q.dtype == jnp.int8 and s.shape == (4, 64)
+    back = q.astype(jnp.float32) * s[:, None, :]
+    # max error <= scale/2 per element (round-to-nearest)
+    assert float(jnp.max(jnp.abs(back - w) / s[:, None, :])) <= 0.5 + 1e-6
+
+
+def _cached_logits(config, params, ids):
+    """Forward through the decode (cached/unrolled) path — the one that
+    consumes quantized weights."""
+    B, L = ids.shape
+    t = config.text
+    cache = {
+        "k": jnp.zeros((t.num_hidden_layers, B, L, t.num_key_value_heads,
+                        t.head_dim), jnp.float32),
+        "v": jnp.zeros((t.num_hidden_layers, B, L, t.num_key_value_heads,
+                        t.head_dim), jnp.float32),
+        "kv_valid": jnp.ones((B, L), jnp.int32),
+    }
+    pos = jnp.broadcast_to(jnp.arange(L)[None, None], (B, 3, L))
+    cpos = jnp.broadcast_to(jnp.arange(L)[None], (B, L))
+    logits, _ = qmodel.forward(config, params, ids, pos, None, cache=cache,
+                               cache_positions=cpos)
+    return np.asarray(logits)
+
+
+def test_quantized_forward_close(setup):
+    config, params = setup
+    rng = np.random.default_rng(1)
+    ids = jnp.asarray(rng.integers(2, 200, size=(2, 12)), jnp.int32)
+    full = _cached_logits(config, params, ids)
+    qparams = jax.device_get(quantize_decode_params(params))
+    quant = _cached_logits(config, jax.tree.map(jnp.asarray, qparams), ids)
+    rel = np.abs(quant - full).max() / (np.abs(full).std() + 1e-9)
+    assert rel < 0.25, f"quantized logits diverged: rel={rel:.3f}"
+    # ranking mostly preserved: top-1 agreement on most positions
+    agree = (full.argmax(-1) == quant.argmax(-1)).mean()
+    assert agree > 0.8, f"top-1 agreement {agree:.2f}"
+
+
+def test_engine_weight_quant_runs(setup):
+    config, params = setup
+    engine = DecodeEngine(config, params, max_slots=2, max_len=64,
+                          decode_chunk=4, prefill_buckets=(16,),
+                          cache_dtype=jnp.float32, weight_quant="int8")
+    rng = np.random.default_rng(3)
+    reqs = [Request(request_id=i,
+                    prompt_ids=rng.integers(2, 200, size=7).tolist(),
+                    sampling=SamplingParams(temperature=0.0, do_sample=False,
+                                            max_new_tokens=6))
+            for i in range(2)]
+    outs = engine.generate(reqs)
+    assert len(outs) == 2
+    for o in outs:
+        assert len(o.output_ids) >= 1
+        assert all(0 <= t < config.text.vocab_size for t in o.output_ids)
+
+    # bad knob value rejected
+    with pytest.raises(ValueError):
+        DecodeEngine(config, params, weight_quant="int4")
+
+
+def test_quantized_tied_head(setup):
+    """Tied-embedding models get a derived int8 lm_head_q; embed stays full
+    precision for the gather."""
+    import dataclasses
+    config, params = setup
+    tcfg = dataclasses.replace(config.text, tie_word_embeddings=True)
+    config_t = dataclasses.replace(config, text=tcfg)
+    params_t = {k: v for k, v in params.items() if k != "lm_head"}
+    rng = np.random.default_rng(2)
+    ids = jnp.asarray(rng.integers(2, 200, size=(1, 8)), jnp.int32)
+    full = _cached_logits(config_t, params_t, ids)
+    qp = quantize_decode_params(params_t)
+    assert qp["lm_head_q"].dtype == jnp.int8
+    assert qp["embed"].dtype == params_t["embed"].dtype   # gather stays exact
+    quant = _cached_logits(config_t, qp, ids)
+    rel = np.abs(quant - full).max() / (np.abs(full).std() + 1e-9)
+    assert rel < 0.25, f"tied quantized logits diverged: rel={rel:.3f}"
