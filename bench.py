@@ -87,13 +87,14 @@ def bench_socioseg(n_tiles: int = 8, max_new: int = 256, tiny: bool = False):
                             mrope_section=(2, 3, 3)))
         sam_config = Sam2Config.tiny_test()
         img_cfg = ImageProcessorConfig(min_pixels=56 * 56,
-                                       max_pixels=56 * 56 * 4)
+                                       max_pixels=56 * 56 * 4,
+                                       defer_patchify=True)
         tile_px, prompt_len, max_new = 96, 1024, min(max_new, 8)
         buckets, max_len = (1024,), 1100
     else:
         model_config = Qwen25VLConfig()           # 3B dims incl. ViT
         sam_config = Sam2Config.large()           # sam2-hiera-large dims
-        img_cfg = ImageProcessorConfig()
+        img_cfg = ImageProcessorConfig(defer_patchify=True)
         tile_px, prompt_len = 768, 4096
         buckets, max_len = (1024, 2048, 4096), 4096
     params = qmodel.init_params(model_config, jax.random.key(0),
@@ -243,6 +244,35 @@ def bench_decode(params, config, rng):
     return e2e8, steady8, e2e24, steady24
 
 
+def bench_decode_int8(params, config, rng):
+    """Steady-state decode with the hybrid weight-only int8 path
+    (weight_quant='int8'). Gated behind SOCIO_BENCH_INT8=1: the int8 decode
+    graph takes ~9 min through the axon remote XLA compiler (one-time;
+    measured 7.0 ms/step = 3430 tok/s at 24 slots on v5e)."""
+    from socioreasoner_tpu.generation.engine import DecodeEngine, Request
+    from socioreasoner_tpu.generation.sampling import SamplingParams
+
+    engine = DecodeEngine(config, params, max_slots=24, max_len=1536,
+                          decode_chunk=64, prefill_buckets=(512,),
+                          weight_quant="int8")
+    sp = SamplingParams(temperature=1.0, top_p=0.9, top_k=50,
+                        max_new_tokens=129)
+    reqs = [Request(request_id=i,
+                    prompt_ids=rng.integers(10, 100000, size=400).tolist(),
+                    sampling=sp) for i in range(24)]
+    engine.generate([Request(request_id="warm", prompt_ids=reqs[0].prompt_ids,
+                             sampling=SamplingParams(max_new_tokens=65))])
+    for r in reqs:
+        engine.waiting.append(r)
+    engine.step()
+    t0 = time.perf_counter()
+    nsteps = 0
+    while engine.has_work():
+        engine.step()
+        nsteps += engine.decode_chunk
+    return 24 * nsteps / (time.perf_counter() - t0)
+
+
 def main():
     import os
 
@@ -275,6 +305,13 @@ def main():
     e2e8, steady8, e2e24, steady24 = bench_decode(params, config, rng)
     print(f"[bench] decode e2e {e2e8:.0f}/{e2e24:.0f}, steady "
           f"{steady8:.0f}/{steady24:.0f} tok/s @8/24", file=sys.stderr)
+    int8_detail = {}
+    if os.environ.get("SOCIO_BENCH_INT8") == "1":
+        steady24_q = bench_decode_int8(params, config, rng)
+        print(f"[bench] decode int8 steady {steady24_q:.0f} tok/s @24",
+              file=sys.stderr)
+        int8_detail["decode_int8_steady_state_tokens_per_s_24slots"] = round(
+            steady24_q, 1)
 
     print(json.dumps({
         "metric": "socioseg_tiles_per_s_per_chip",
@@ -291,6 +328,7 @@ def main():
             "decode_tokens_per_s_24slots": round(e2e24, 1),
             "decode_steady_state_tokens_per_s_8slots": round(steady8, 1),
             "decode_steady_state_tokens_per_s_24slots": round(steady24, 1),
+            **int8_detail,
             "dtype": "bfloat16",
             "device": str(jax.devices()[0]),
         },

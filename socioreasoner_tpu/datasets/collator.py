@@ -44,7 +44,7 @@ class SocioSegCollator:
     def __call__(self, features: List[Dict[str, Any]]) -> BatchProto:
         pad_id = self.config.pad_token_id
         ids_list, attn_list, pos_list = [], [], []
-        pixel_list, grid_list = [], []
+        pixel_list, grid_list, u8_list = [], [], []
         for f in features:
             out = self.processor(f[self.prompt_key], f.get(self.image_key))
             ids = out["input_ids"]
@@ -57,6 +57,7 @@ class SocioSegCollator:
             attn_list.append(attn)
             pos_list.append(pos[0])
             pixel_list.append(out.get("pixel_values"))
+            u8_list.append(out.get("pixel_u8"))
             grid_list.append(grid)
 
         prefix = self.out_prefix
@@ -69,6 +70,8 @@ class SocioSegCollator:
             f"{prefix}pixel_values": pixel_list,
             f"{prefix}grid_thw": grid_list,
         }
+        if any(u is not None for u in u8_list):   # defer_patchify carrier
+            non_tensors[f"{prefix}pixel_u8"] = u8_list
         for key in ("id", "question", "gt_mask", "gt_bbox", "gt_object",
                     "seg_image", "image_map", "image_sat", "tag", "image_flag"):
             if features and key in features[0]:

@@ -49,6 +49,9 @@ class ImageProcessorConfig:
     max_pixels: int = 28 * 28 * 1280
     image_mean: np.ndarray = field(default_factory=lambda: OPENAI_CLIP_MEAN)
     image_std: np.ndarray = field(default_factory=lambda: OPENAI_CLIP_STD)
+    # True: process_images returns resized uint8 pixels ("pixel_u8") and the
+    # ViT path normalizes+patchifies on device — 4× fewer upload bytes
+    defer_patchify: bool = False
 
     @property
     def factor(self) -> int:
@@ -59,6 +62,17 @@ def resize_image(image: Image.Image, cfg: ImageProcessorConfig) -> Image.Image:
     h, w = smart_resize(image.height, image.width, cfg.factor,
                         cfg.min_pixels, cfg.max_pixels)
     return image.resize((w, h), resample=Image.Resampling.BICUBIC)
+
+
+def resized_u8(image: Image.Image, cfg: ImageProcessorConfig) -> np.ndarray:
+    """Resize only; return (H, W, 3) uint8 — the deferred-patchify carrier.
+
+    Normalize + patchify then run ON DEVICE (models/qwen2_5_vl/vision.py
+    patchify_device): uploading uint8 pixels is 4× fewer host→device bytes
+    than f32/bf16 patches with the temporal duplication already applied."""
+    if image.mode != "RGB":
+        image = image.convert("RGB")
+    return np.asarray(resize_image(image, cfg), np.uint8)
 
 
 def patchify_image(image: Image.Image, cfg: ImageProcessorConfig,
@@ -85,7 +99,18 @@ def patchify_image(image: Image.Image, cfg: ImageProcessorConfig,
 
 def process_images(images: Sequence[Image.Image], cfg: ImageProcessorConfig
                    ) -> Dict[str, np.ndarray]:
-    """Multiple images → concatenated pixel patches + grid_thw array."""
+    """Multiple images → concatenated pixel patches + grid_thw array.
+
+    With cfg.defer_patchify: returns per-image resized uint8 arrays instead
+    ("pixel_u8"); patchify happens on device (vision.patchify_device)."""
+    if cfg.defer_patchify:
+        u8s, grids = [], []
+        for img in images:
+            arr = resized_u8(img, cfg)
+            u8s.append(arr)
+            grids.append((1, arr.shape[0] // cfg.patch_size,
+                          arr.shape[1] // cfg.patch_size))
+        return {"pixel_u8": u8s, "image_grid_thw": np.array(grids, np.int64)}
     all_patches, grids = [], []
     for img in images:
         flat, grid = patchify_image(img, cfg)

@@ -59,20 +59,33 @@ def _micro_batched_log_probs(logprob_step, params, batch: BatchProto,
 
 
 def compute_image_embeds(config: Qwen25VLConfig, params, pixel_values: np.ndarray,
-                         grid_thw: np.ndarray) -> np.ndarray:
-    """One sample's packed images → (S_merged, hidden) embeddings."""
-    return np.asarray(run_vision(config.vision, params["vision"], pixel_values,
-                                 grid_thw))
+                         grid_thw: np.ndarray):
+    """One sample's packed images → (S_merged, hidden) embeddings.
+
+    Returns a DEVICE array: embeds flow straight into engine requests /
+    logprob steps, and a host round-trip would move ~12 MB per VLM sample
+    each way (the infer pipeline's measured bottleneck through the axon
+    relay — and a gratuitous PCIe round-trip on any host)."""
+    return run_vision(config.vision, params["vision"], pixel_values, grid_thw)
 
 
 def batch_image_embeds(config: Qwen25VLConfig, params, batch: BatchProto,
-                       prefix: str = "") -> List[Optional[np.ndarray]]:
+                       prefix: str = "", image_config=None
+                       ) -> List[Optional[np.ndarray]]:
     out = []
     pv_col = batch.non_tensor.get(f"{prefix}pixel_values")
+    u8_col = batch.non_tensor.get(f"{prefix}pixel_u8")
     grid_col = batch.non_tensor.get(f"{prefix}grid_thw")
     for i in range(len(batch)):
+        u8 = u8_col[i] if u8_col is not None else None
         pv = pv_col[i] if pv_col is not None else None
-        if pv is None:
+        if u8 is not None:                 # defer_patchify: uint8 → device
+            from ..models.qwen2_5_vl.vision import run_vision_u8
+            from ..datasets.processor import ImageProcessorConfig
+            out.append(run_vision_u8(config.vision, params["vision"], u8,
+                                     grid_col[i],
+                                     image_config or ImageProcessorConfig()))
+        elif pv is None:
             out.append(None)
         else:
             out.append(compute_image_embeds(config, params, pv, grid_col[i]))

@@ -327,12 +327,22 @@ class DecodeEngine:
                 n_img_total += req.image_embeds.shape[0]
 
         img_bucket = _bucket(n_img_total, self.image_buckets) if n_img_total else 0
-        if img_bucket:
+        if not img_bucket:
+            img = None
+        elif any(not isinstance(e, np.ndarray) for e in imgs):
+            # device-resident embeds (ViT output stays on device): build the
+            # table with dynamic_update_slice — no host round-trip
+            img = jnp.zeros((img_bucket, self.config.text.hidden_size),
+                            self._embed_dtype)
+            off = 0
+            for e in imgs:
+                img = jax.lax.dynamic_update_slice(
+                    img, jnp.asarray(e, self._embed_dtype), (off, 0))
+                off += int(e.shape[0])
+        else:
             img = np.zeros((img_bucket, self.config.text.hidden_size), np.float32)
             img[:n_img_total] = np.concatenate(imgs, axis=0)
             img = jnp.asarray(img, self._embed_dtype)
-        else:
-            img = None
 
         fn = self._get_prefill(bucket, img_bucket, Bp)
         self._rng, key = jax.random.split(self._rng)
@@ -441,14 +451,19 @@ class DecodeEngine:
             local["k_scale"] = jnp.zeros((Lyr, B, Hkv, bucket), jnp.float32)
             local["v_scale"] = jnp.zeros((Lyr, B, Hkv, bucket), jnp.float32)
         from ..ops.flags import use_flash_attention
+        from ..ops.quant import head_logits
         cache_positions = jnp.broadcast_to(jnp.arange(bucket)[None], (B, bucket))
-        logits, new_cache = qmodel.forward(
+        # logits=False: only each row's LAST position feeds sampling — the
+        # full (B, bucket, V) logits would be GBs (and the full-sequence
+        # lm_head matmul is ~20% of prefill FLOPs, all wasted)
+        hidden, new_cache = qmodel.forward(
             cfg, params, ids, pos, None, image_embeds=image_embeds,
             cache=local, cache_positions=cache_positions,
-            use_flash=use_flash_attention())
-        last_logits = jnp.take_along_axis(
-            logits, (Ps - 1)[:, None, None].astype(jnp.int32), axis=1)[:, 0]  # (B, V)
-        tok = sample_tokens(last_logits, key, temps, top_ps, top_ks)
+            use_flash=use_flash_attention(), logits=False)
+        last_hidden = jnp.take_along_axis(
+            hidden, (Ps - 1)[:, None, None].astype(jnp.int32), axis=1)[:, 0]
+        tok = sample_tokens(head_logits(params, last_hidden), key,
+                            temps, top_ps, top_ks)
         out = {}
         for name in caches:
             upd = new_cache[name].astype(caches[name].dtype)

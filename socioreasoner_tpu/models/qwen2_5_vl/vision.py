@@ -22,6 +22,8 @@ from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
+import functools
+
 import numpy as np
 
 from ...ops.attention import dense_attention
@@ -125,17 +127,100 @@ def vision_host_inputs(cfg: VisionConfig, pixel_patches: np.ndarray, grid_thw: n
     }
 
 
+@functools.partial(jax.jit, static_argnames=("ps", "ms", "tps"))
+def patchify_device(img_u8: jnp.ndarray,         # (H, W, 3) uint8, resized
+                    mean: jnp.ndarray, std: jnp.ndarray,
+                    ps: int, ms: int, tps: int) -> jnp.ndarray:
+    """Device-side CLIP-normalize + Qwen merge-block patchify (the exact math
+    of datasets/processor.py patchify_image, parity-tested). Uploading uint8
+    pixels instead of pre-patchified f32 is 8× fewer host→device bytes (no
+    temporal duplication, 1 byte/px) — host→device transfer dominated the
+    VLM infer pipeline (measured through the axon relay)."""
+    x = img_u8.astype(jnp.float32) / 255.0
+    x = (x - mean) / std
+    x = x.transpose(2, 0, 1)                           # (C, H, W)
+    C, H, W = x.shape
+    gh, gw = H // ps, W // ps
+    frames = jnp.broadcast_to(x[None], (tps, C, H, W))  # temporal repeat
+    p = frames.reshape(1, tps, C, gh // ms, ms, ps, gw // ms, ms, ps)
+    p = p.transpose(0, 3, 6, 4, 7, 2, 1, 5, 8)
+    return p.reshape(gh * gw, C * tps * ps * ps)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "use_flash", "n_img",
+                                             "ps", "ms", "tps"))
+def _vision_core_u8(cfg: VisionConfig, params: Dict, images_u8, mean, std,
+                    cos, sin, window_seg, full_seg, is_full, perm, inv_perm,
+                    *, use_flash: bool, n_img: int, ps: int, ms: int,
+                    tps: int) -> jnp.ndarray:
+    dtype = params["patch_embed_w"].dtype
+    parts = []
+    for a in images_u8:
+        x = a.astype(jnp.float32) / 255.0
+        x = ((x - mean) / std).transpose(2, 0, 1)
+        C, H, W = x.shape
+        gh, gw = H // ps, W // ps
+        frames = jnp.broadcast_to(x[None], (tps, C, H, W))
+        p = frames.reshape(1, tps, C, gh // ms, ms, ps, gw // ms, ms, ps)
+        p = p.transpose(0, 3, 6, 4, 7, 2, 1, 5, 8)
+        parts.append(p.reshape(gh * gw, C * tps * ps * ps).astype(dtype))
+    patches = parts[0] if n_img == 1 else jnp.concatenate(parts, axis=0)
+    out = vision_tower(cfg, params, patches[perm], cos, sin, window_seg,
+                       full_seg, is_full, use_flash=use_flash)
+    return out[inv_perm]
+
+
+def run_vision_u8(cfg: VisionConfig, params: Dict, images_u8,
+                  grid_thw: np.ndarray, image_config, dtype=None) -> jnp.ndarray:
+    """Like run_vision, but takes per-image resized uint8 arrays (the
+    defer_patchify carrier): uint8 upload (8× fewer bytes than bf16 patches
+    with temporal duplication), then normalize+patchify+window-permute+tower
+    in ONE jitted call — the eager tower dispatched hundreds of ops per
+    image, each a host↔device round trip (measured dominant through the
+    axon relay)."""
+    ic = image_config
+    from ...ops.flags import use_flash_attention
+    unit = cfg.spatial_merge_unit
+    window_index, window_seg, full_seg = rope_mod.vision_window_index(grid_thw, cfg)
+    cos, sin = rope_mod.vision_rope_cos_sin(grid_thw, cfg)
+    patch_perm = (window_index[:, None] * unit + np.arange(unit)[None, :]).reshape(-1)
+    is_full = np.array([i in cfg.fullatt_block_indexes for i in range(cfg.depth)])
+    out = _vision_core_u8(
+        cfg, params, tuple(jnp.asarray(np.ascontiguousarray(a))
+                           for a in images_u8),
+        jnp.asarray(ic.image_mean, jnp.float32),
+        jnp.asarray(ic.image_std, jnp.float32),
+        jnp.asarray(cos[patch_perm]), jnp.asarray(sin[patch_perm]),
+        jnp.asarray(window_seg), jnp.asarray(full_seg), jnp.asarray(is_full),
+        jnp.asarray(patch_perm), jnp.asarray(np.argsort(window_index)),
+        use_flash=use_flash_attention(), n_img=len(images_u8),
+        ps=ic.patch_size, ms=ic.merge_size, tps=ic.temporal_patch_size)
+    if dtype is not None:
+        out = out.astype(dtype)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "use_flash"))
+def _vision_core(cfg: VisionConfig, params: Dict, patches, cos, sin,
+                 window_seg, full_seg, is_full, inv_perm, *,
+                 use_flash: bool) -> jnp.ndarray:
+    out = vision_tower(cfg, params, patches, cos, sin, window_seg, full_seg,
+                       is_full, use_flash=use_flash)
+    return out[inv_perm]
+
+
 def run_vision(cfg: VisionConfig, params: Dict, pixel_patches: np.ndarray,
                grid_thw: np.ndarray, dtype=None) -> jnp.ndarray:
-    """Convenience host→device wrapper returning merged embeddings in model order."""
+    """Convenience host→device wrapper returning merged embeddings in model
+    order. The tower runs as ONE jitted call — dispatched eagerly it issues
+    hundreds of ops, each a host↔device round trip."""
     if dtype is None:
         dtype = params["patch_embed_w"].dtype
     from ...ops.flags import use_flash_attention
     prep = vision_host_inputs(cfg, pixel_patches, grid_thw)
-    out = vision_tower(
+    return _vision_core(
         cfg, params,
         jnp.asarray(prep["patches"], dtype), jnp.asarray(prep["cos"]),
         jnp.asarray(prep["sin"]), jnp.asarray(prep["window_seg"]),
         jnp.asarray(prep["full_seg"]), jnp.asarray(prep["is_full_layer"]),
-        use_flash=use_flash_attention())
-    return out[jnp.asarray(prep["inv_perm"])]
+        jnp.asarray(prep["inv_perm"]), use_flash=use_flash_attention())

@@ -26,12 +26,23 @@ IMAGE_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 IMAGE_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 
-def preprocess_image(image: np.ndarray, image_size: int) -> np.ndarray:
-    """uint8 HWC (any size) → normalized (1, S, S, 3) float32 via bilinear resize."""
-    x = jnp.asarray(image, jnp.float32) / 255.0
+def preprocess_image_device(image: np.ndarray, image_size: int,
+                            dtype=jnp.float32) -> jnp.ndarray:
+    """uint8 HWC (any size) → normalized (1, S, S, 3) DEVICE array.
+
+    Uploads the raw uint8 (1 byte/px) and does convert/resize/normalize on
+    device — the f32 round-trip version moved ~25 MB host↔device per tile
+    (dominant in the seg stage through the axon relay)."""
+    x = jnp.asarray(np.ascontiguousarray(image))          # uint8 upload
+    x = x.astype(jnp.float32) / 255.0
     x = jax.image.resize(x, (image_size, image_size, 3), method="linear")
     x = (x - IMAGE_MEAN) / IMAGE_STD
-    return np.asarray(x)[None]
+    return x[None].astype(dtype)
+
+
+def preprocess_image(image: np.ndarray, image_size: int) -> np.ndarray:
+    """Host-array variant of preprocess_image_device (compat/tests)."""
+    return np.asarray(preprocess_image_device(image, image_size))
 
 
 def encode_image(config: Sam2Config, params: Dict, pixel_values: jnp.ndarray,
@@ -103,10 +114,9 @@ class Sam2Predictor:
             grid = (S // self.config.hiera.patch_stride[0],) * 2
             self.pos_embed = jnp.asarray(hiera_pos_embed(
                 self.params["encoder"]["hiera"], self.config.hiera, *grid))
-        pixels = preprocess_image(arr, self.config.image_size)
         dtype = self.params["conv_s0_w"].dtype
-        self._embeddings = self._encode(self.params, jnp.asarray(pixels, dtype),
-                                        self.pos_embed)
+        pixels = preprocess_image_device(arr, self.config.image_size, dtype)
+        self._embeddings = self._encode(self.params, pixels, self.pos_embed)
 
     # ----------------------------------------------------------------- predict
     def predict(self, point_coords=None, point_labels=None, box=None,
@@ -157,11 +167,11 @@ class Sam2Predictor:
             grid = (S // self.config.hiera.patch_stride[0],) * 2
             self.pos_embed = jnp.asarray(hiera_pos_embed(
                 self.params["encoder"]["hiera"], self.config.hiera, *grid))
-        pixels = np.concatenate([preprocess_image(a, self.config.image_size)
-                                 for a in arrs], axis=0)
         dtype = self.params["conv_s0_w"].dtype
-        self._embeddings = self._encode(self.params, jnp.asarray(pixels, dtype),
-                                        self.pos_embed)
+        pixels = jnp.concatenate(
+            [preprocess_image_device(a, self.config.image_size, dtype)
+             for a in arrs], axis=0)
+        self._embeddings = self._encode(self.params, pixels, self.pos_embed)
 
     def predict_objects_mask_batch(self, prompts_list: List[List[Dict]],
                                    out_size: Tuple[int, int],

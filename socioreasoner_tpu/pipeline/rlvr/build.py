@@ -32,7 +32,10 @@ def build_processor(cfg: SocioSegConfig, model_config: Qwen25VLConfig
     ma = cfg.actor_train.model_args
     img_cfg = ImageProcessorConfig(
         min_pixels=ma.pixels("min_pixels") or 56 * 56,
-        max_pixels=ma.pixels("max_pixels") or 28 * 28 * 1280)
+        max_pixels=ma.pixels("max_pixels") or 28 * 28 * 1280,
+        # uint8 upload + on-device patchify (vision.patchify_device): 8×
+        # fewer host→device bytes on the VLM hot path
+        defer_patchify=True)
     pretrain = cfg.pretrain
     if pretrain and os.path.isdir(pretrain):
         tokenizer = load_hf_tokenizer(pretrain)
@@ -75,13 +78,18 @@ def default_engine_kwargs(cfg: SocioSegConfig) -> Dict:
         "max_len": cfg.sequence_length,
         "decode_chunk": 64,
         "prefill_buckets": (512, 1024, 2048, cfg.prompt_length),
-        "image_buckets": (0, 512, 1024, 1536, 2048),
+        # large total-row buckets let several VLM requests (~1.5k image rows
+        # each) share one batched prefill; unused sizes never compile
+        "image_buckets": (0, 512, 1024, 2048, 4096, 8192, 16384),
     }
     # actor_infer.strategy_args.strategy_config.kv_quant: "int8" enables the
-    # quantized KV cache (half the decode HBM traffic, double the slots)
+    # quantized KV cache (half the decode HBM traffic, double the slots);
+    # weight_quant: "int8" enables the hybrid int8 decode loop (engine.py)
     sc = cfg.actor_infer.strategy_args.strategy_config or {}
     if sc.get("kv_quant"):
         kwargs["kv_quant"] = sc["kv_quant"]
+    if sc.get("weight_quant"):
+        kwargs["weight_quant"] = sc["weight_quant"]
     return kwargs
 
 

@@ -95,7 +95,7 @@ class MathVLMPipeline(BasePipeline):
                       "ground_truth": r.get("ground_truth", "")} for r in rows]
             batch = self.collator(feats)
             rollout = self.param_store.get("rollout")
-            embeds = batch_image_embeds(self.model_config, rollout, batch)
+            embeds = batch_image_embeds(self.model_config, rollout, batch, image_config=self.processor.image_config)
 
             with mm.timer("generate"):
                 gen_batch = BatchProto.from_dict(tensors={

@@ -84,7 +84,7 @@ class SocioSegInferPipeline(BasePipeline):
         cfg = self.pipeline_config
         batch = self.collator(rows)
         rollout = self.param_store.get("rollout")
-        embeds = batch_image_embeds(self.model_config, rollout, batch, prefix="map_")
+        embeds = batch_image_embeds(self.model_config, rollout, batch, prefix="map_", image_config=self.processor.image_config)
         gen_batch = BatchProto.from_dict(tensors={
             "input_ids": batch.batch["map_input_ids"],
             "attention_mask": batch.batch["map_attention_mask"],
@@ -104,7 +104,7 @@ class SocioSegInferPipeline(BasePipeline):
             s2_images.append(rendered)
         s2_batch = collate_restage(self.processor, self.model_config,
                                    s2_prompts, s2_images, cfg.prompt_length)
-        embeds2 = batch_image_embeds(self.model_config, rollout, s2_batch, prefix="")
+        embeds2 = batch_image_embeds(self.model_config, rollout, s2_batch, prefix="", image_config=self.processor.image_config)
         gen2 = BatchProto.from_dict(tensors={
             "input_ids": s2_batch.batch["input_ids"],
             "attention_mask": s2_batch.batch["attention_mask"],
@@ -135,7 +135,7 @@ class SocioSegInferPipeline(BasePipeline):
             with mm.timer("vision_embeds_s1"):
                 embeds = batch_image_embeds(self.model_config,
                                             self.param_store.get("rollout"),
-                                            batch, prefix="map_")
+                                            batch, prefix="map_", image_config=self.processor.image_config)
             gen_batch = BatchProto.from_dict(tensors={
                 "input_ids": batch.batch["map_input_ids"],
                 "attention_mask": batch.batch["map_attention_mask"],
@@ -169,7 +169,7 @@ class SocioSegInferPipeline(BasePipeline):
             with mm.timer("vision_embeds_s2"):
                 embeds2 = batch_image_embeds(self.model_config,
                                              self.param_store.get("rollout"),
-                                             s2_batch, prefix="")
+                                             s2_batch, prefix="", image_config=self.processor.image_config)
             gen2 = BatchProto.from_dict(tensors={
                 "input_ids": s2_batch.batch["input_ids"],
                 "attention_mask": s2_batch.batch["attention_mask"],

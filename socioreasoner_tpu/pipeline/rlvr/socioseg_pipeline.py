@@ -120,7 +120,7 @@ class SocioSegPipeline(BasePipeline):
             # 3 ---- stage-1 generate, n samples per prompt
             with mm.timer("generate_s1"):
                 embeds = batch_image_embeds(self.model_config, rollout_params,
-                                            batch, prefix="map_")
+                                            batch, prefix="map_", image_config=self.processor.image_config)
                 gen_batch = BatchProto.from_dict(tensors={
                     "input_ids": batch.batch["map_input_ids"],
                     "attention_mask": batch.batch["map_attention_mask"],
@@ -169,7 +169,7 @@ class SocioSegPipeline(BasePipeline):
             # 6 ---- stage-2 generate (single sample per expanded prompt)
             with mm.timer("generate_s2"):
                 embeds2 = batch_image_embeds(self.model_config, rollout_params,
-                                             s2_batch, prefix="")
+                                             s2_batch, prefix="", image_config=self.processor.image_config)
                 gen2 = BatchProto.from_dict(tensors={
                     "input_ids": s2_batch.batch["input_ids"],
                     "attention_mask": s2_batch.batch["attention_mask"],
@@ -264,7 +264,7 @@ class SocioSegPipeline(BasePipeline):
             batch = self.collator(rows)
             rollout = self.param_store.get("rollout")
             embeds = batch_image_embeds(self.model_config, rollout, batch,
-                                        prefix="map_")
+                                        prefix="map_", image_config=self.processor.image_config)
             gen_batch = BatchProto.from_dict(tensors={
                 "input_ids": batch.batch["map_input_ids"],
                 "attention_mask": batch.batch["map_attention_mask"],
@@ -292,7 +292,7 @@ class SocioSegPipeline(BasePipeline):
             s2_batch = collate_restage(self.processor, self.model_config,
                                        s2_prompts, s2_images, cfg.prompt_length)
             embeds2 = batch_image_embeds(self.model_config, rollout, s2_batch,
-                                         prefix="")
+                                         prefix="", image_config=self.processor.image_config)
             gen2 = BatchProto.from_dict(tensors={
                 "input_ids": s2_batch.batch["input_ids"],
                 "attention_mask": s2_batch.batch["attention_mask"],
@@ -362,7 +362,10 @@ class SocioSegPipeline(BasePipeline):
         })
         if embeds_list and embeds_list[0] is not None:
             rep = [e for e in embeds_list for _ in range(repeat)]
-            batch.meta["image_embeds"] = np.concatenate(rep, axis=0)
+            # jnp: embeds are device-resident (compute_image_embeds) — keep
+            # them on device for the logprob steps, no host round-trip
+            batch.meta["image_embeds"] = jnp.concatenate(
+                [jnp.asarray(e) for e in rep], axis=0)
         return batch
 
     def _decode_responses(self, post: Dict[str, np.ndarray]) -> List[str]:
