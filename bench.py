@@ -306,12 +306,17 @@ def main():
     print(f"[bench] decode e2e {e2e8:.0f}/{e2e24:.0f}, steady "
           f"{steady8:.0f}/{steady24:.0f} tok/s @8/24", file=sys.stderr)
     int8_detail = {}
-    if os.environ.get("SOCIO_BENCH_INT8") == "1":
-        steady24_q = bench_decode_int8(params, config, rng)
-        print(f"[bench] decode int8 steady {steady24_q:.0f} tok/s @24",
-              file=sys.stderr)
-        int8_detail["decode_int8_steady_state_tokens_per_s_24slots"] = round(
-            steady24_q, 1)
+    if os.environ.get("SOCIO_BENCH_INT8", "1") == "1":
+        # ~9 min one-time compile through a cold remote XLA compiler (fast on
+        # a warm one); never let this bonus metric kill the main bench line
+        try:
+            steady24_q = bench_decode_int8(params, config, rng)
+            print(f"[bench] decode int8 steady {steady24_q:.0f} tok/s @24",
+                  file=sys.stderr)
+            int8_detail["decode_int8_steady_state_tokens_per_s_24slots"] = \
+                round(steady24_q, 1)
+        except Exception as e:  # noqa: BLE001
+            print(f"[bench] int8 decode skipped: {e}", file=sys.stderr)
 
     print(json.dumps({
         "metric": "socioseg_tiles_per_s_per_chip",

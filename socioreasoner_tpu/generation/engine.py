@@ -138,8 +138,14 @@ class DecodeEngine:
         self._rng = jax.random.key(seed)
         self._jit_prefill = {}
         self._jit_decode = jax.jit(self._decode_loop, static_argnames=("n_steps",),
-                                   donate_argnums=(1,))
+                                   donate_argnums=(1, 2))
         self._embed_dtype = params["embed"].dtype
+        # device-resident decode state (slot scalars + sampling params + PRNG
+        # key), refreshed only when admission/release changes the slot set:
+        # re-uploading ~8 small arrays every chunk cost ~1 ms/step through
+        # the host link at decode_chunk=64
+        self._dev_state = None
+        self._dev_dirty = True
 
     # ------------------------------------------------------------------ public
     def set_params(self, params):
@@ -270,6 +276,7 @@ class DecodeEngine:
         self.slot_req.pop(slot, None)
         self.lengths[slot] = 0
         self.free_slots.append(slot)
+        self._dev_dirty = True
 
     def _batch_bucket(self, n: int) -> int:
         for b in self._prefill_batch_buckets:
@@ -352,6 +359,7 @@ class DecodeEngine:
             img, key, jnp.asarray(temps), jnp.asarray(top_ps),
             jnp.asarray(top_ks))
         toks = np.asarray(first_tok)
+        self._dev_dirty = True
         # cache holds the P prompt tokens; the first sampled token is written
         # at position P (= lengths) by the first decode step
         for i, req in enumerate(reqs):
@@ -386,7 +394,7 @@ class DecodeEngine:
             if req.callback is not None:
                 req.callback(out)
 
-    def _decode_chunk(self) -> List[EngineOutput]:
+    def _refresh_dev_state(self):
         active = np.zeros(self.S, bool)
         temps = np.zeros(self.S, np.float32)
         top_ps = np.ones(self.S, np.float32)
@@ -398,18 +406,28 @@ class DecodeEngine:
             top_ps[slot] = s.top_p
             top_ks[slot] = s.top_k
         self._rng, key = jax.random.split(self._rng)
-        n = self.decode_chunk
-        self.caches, toks, new_len, new_pos = self._jit_decode(
-            self.params_q if self.params_q is not None else self.params,
-            self.caches,
-            jnp.asarray(self.last_token), jnp.asarray(self.lengths),
-            jnp.asarray(self.next_pos), jnp.asarray(active),
-            jnp.asarray(temps), jnp.asarray(top_ps), jnp.asarray(top_ks),
-            key, n_steps=n)
-        toks = np.asarray(toks)          # (S, n)
-        new_len = np.asarray(new_len)
-        new_pos = np.asarray(new_pos)
+        self._dev_state = {
+            "last_token": jnp.asarray(self.last_token),
+            "lengths": jnp.asarray(self.lengths),
+            "next_pos": jnp.asarray(self.next_pos),
+            "active": jnp.asarray(active),
+            "temps": jnp.asarray(temps),
+            "top_ps": jnp.asarray(top_ps),
+            "top_ks": jnp.asarray(top_ks),
+            "key": key,
+        }
+        self._dev_dirty = False
 
+    def _decode_chunk(self) -> List[EngineOutput]:
+        if self._dev_dirty or self._dev_state is None:
+            self._refresh_dev_state()
+        n = self.decode_chunk
+        self.caches, self._dev_state, toks = self._jit_decode(
+            self.params_q if self.params_q is not None else self.params,
+            self.caches, self._dev_state, n_steps=n)
+        toks = np.asarray(toks)          # (S, n) — the only download per chunk
+        # host mirrors advance arithmetically (the device did lengths+n etc.);
+        # a released/admitted slot marks the state dirty and forces re-upload
         outputs: List[EngineOutput] = []
         for slot, req in list(self.slot_req.items()):
             emitted = toks[slot]
@@ -419,8 +437,8 @@ class DecodeEngine:
                 if (int(t) in stop
                         or len(req.output_ids) >= req.sampling.max_new_tokens):
                     break
-            self.lengths[slot] = new_len[slot]
-            self.next_pos[slot] = new_pos[slot]
+            self.lengths[slot] += n
+            self.next_pos[slot] += n
             if emitted.size:
                 self.last_token[slot] = int(emitted[-1])
             self._maybe_finish(req, outputs)
@@ -475,11 +493,16 @@ class DecodeEngine:
                     upd, mode="drop")
         return out, tok
 
-    def _decode_loop(self, params, caches, last_token, lengths, next_pos,
-                     active, temps, top_ps, top_ks, key, *, n_steps: int):
-        """Generate n_steps tokens for all active slots on-device."""
+    def _decode_loop(self, params, caches, state, *, n_steps: int):
+        """Generate n_steps tokens for all active slots on-device.
+
+        `state` is the device-resident slot state (_refresh_dev_state); it is
+        donated, updated in place and handed back so steady-state chunks
+        upload nothing and download only the emitted tokens."""
         cfg = self.config
         S = self.S
+        temps, top_ps, top_ks = state["temps"], state["top_ps"], state["top_ks"]
+        active = state["active"]
 
         def body(i, carry):
             caches, last_token, lengths, next_pos, key, toks = carry
@@ -504,5 +527,9 @@ class DecodeEngine:
         toks0 = jnp.zeros((S, n_steps), jnp.int32)
         caches, last_token, lengths, next_pos, key, toks = jax.lax.fori_loop(
             0, n_steps, body,
-            (caches, last_token, lengths, next_pos, key, toks0))
-        return caches, toks, lengths, next_pos
+            (caches, state["last_token"], state["lengths"], state["next_pos"],
+             state["key"], toks0))
+        new_state = {"last_token": last_token, "lengths": lengths,
+                     "next_pos": next_pos, "active": active, "temps": temps,
+                     "top_ps": top_ps, "top_ks": top_ks, "key": key}
+        return caches, new_state, toks
