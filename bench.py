@@ -55,7 +55,7 @@ def _bench_tokenizer():
     return BenchTokenizer()
 
 
-def bench_socioseg(n_tiles: int = 8, max_new: int = 256, tiny: bool = False):
+def bench_socioseg(n_tiles: int = 24, max_new: int = 256, tiny: bool = False):
     """Full two-stage pipeline on synthetic tiles; returns (tiles/s, detail).
 
     tiny=True (or env SOCIO_BENCH_TINY=1): scaled-down dims for a CPU plumbing
@@ -132,6 +132,12 @@ def bench_socioseg(n_tiles: int = 8, max_new: int = 256, tiny: bool = False):
         engine_kwargs={"max_slots": n_tiles, "max_len": max_len,
                        "decode_chunk": 64,
                        "prefill_buckets": buckets,
+                       # long-prompt prefill activations scale with the
+                       # admission batch; cap it so 24 resident slots fit HBM
+                       "max_prefill_batch": 8 if not tiny else None,
+                       # int8 KV at 24 resident 4k slots: 1.9 GB vs 3.8 bf16
+                       # (leaves room for SAM2-large + ViT beside the 3B)
+                       "kv_quant": None if tiny else "int8",
                        "cache_dtype": jnp.bfloat16})
 
     pipe._two_stage(dataset)                      # warmup: all compiles

@@ -49,10 +49,15 @@ class SegStrategy(InferenceStrategy):
             to_run.append(i)
             images.append(img)
             prompt_lists.append(list(prompts))
-        if to_run:
-            self.predictor.set_images(images)
+        # sub-batches of `infer_batch_size` (default 8): Hiera-large encoder
+        # activations at 1024² scale with batch — an uncapped batch-24 encode
+        # exceeds v5e HBM alongside the resident 3B decode weights
+        mb = getattr(self.worker_config, "infer_batch_size", 0) or 8
+        for start in range(0, len(to_run), mb):
+            idx = to_run[start:start + mb]
+            self.predictor.set_images(images[start:start + mb])
             masks = self.predictor.predict_objects_mask_batch(
-                prompt_lists, SEG_OUTPUT_SIZE)
-            for i, m in zip(to_run, masks):
+                prompt_lists[start:start + mb], SEG_OUTPUT_SIZE)
+            for i, m in zip(idx, masks):
                 results[i] = {"mask": m}
         return results

@@ -78,7 +78,8 @@ class DecodeEngine:
                  image_buckets: Tuple[int, ...] = (0, 512, 1024, 2048, 4096,
                                                    8192, 16384),
                  cache_dtype=jnp.bfloat16, kv_quant: Optional[str] = None,
-                 weight_quant: Optional[str] = None, seed: int = 0):
+                 weight_quant: Optional[str] = None,
+                 max_prefill_batch: Optional[int] = None, seed: int = 0):
         self.config = config
         if weight_quant not in (None, "int8"):
             raise ValueError(f"weight_quant must be None or 'int8', got "
@@ -101,9 +102,14 @@ class DecodeEngine:
         self.decode_chunk = decode_chunk
         self.prefill_buckets = tuple(b for b in prefill_buckets if b <= max_len)
         self.image_buckets = image_buckets
-        # admission batch sizes (pad-to bucket): bounds prefill compile count
+        # admission batch sizes (pad-to bucket): bounds prefill compile count.
+        # max_prefill_batch caps the group (prefill activation + local-cache
+        # memory scales with batch × bucket — at long prompt buckets an
+        # uncapped group can transiently exceed HBM)
+        cap = max_prefill_batch or max_slots
         self._prefill_batch_buckets = tuple(sorted(
-            {b for b in (1, 2, 4, 8, 16, 32) if b < max_slots} | {max_slots}))
+            {b for b in (1, 2, 4, 8, 16, 32) if b < min(max_slots, cap)}
+            | {min(max_slots, cap)}))
         t = config.text
         L, Hkv, D = t.num_hidden_layers, t.num_key_value_heads, t.head_dim
 
