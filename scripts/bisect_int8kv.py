@@ -1,0 +1,157 @@
+"""Bisect the round-2 TPU kernel fault at the 24-slot int8-KV bench config.
+
+BENCH_r02 crashed ("TPU worker process crashed or restarted") inside the first
+decode chunk of bench_socioseg (24 tiles, kv_quant=int8, Lalloc=4352,
+SAM2-large + ViT resident).  Stages, each run in its OWN process
+(`python scripts/bisect_int8kv.py <stage>`), smallest reproducer first:
+
+  kernel   — paged_decode_attention quantized+stacked at the exact geometry
+             (S=24, Lalloc=4352, Hkv=2, D=128, H=16), parity vs dequant+dense
+  engine   — DecodeEngine text-only 3B, 24 slots, max_len=4096, kv_quant=int8
+  resident — same engine with ViT + SAM2-large params resident (HBM pressure)
+  bench    — the full bench_socioseg at the crashed config
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def log(msg):
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def mem():
+    import jax
+    try:
+        s = jax.devices()[0].memory_stats()
+        return (f"{s['bytes_in_use']/2**30:.2f} GiB in use / "
+                f"{s.get('bytes_limit', 0)/2**30:.2f} limit")
+    except Exception as e:  # noqa: BLE001
+        return f"mem_stats unavailable: {e}"
+
+
+def stage_kernel():
+    import jax
+    import jax.numpy as jnp
+    from socioreasoner_tpu.ops.decode_attention import (
+        dequantize_kv, paged_decode_attention, quantize_kv)
+
+    S, Lalloc, Hkv, D, H, layers = 24, 4352, 2, 128, 16, 2
+    rng = np.random.default_rng(0)
+    k = rng.normal(size=(layers, S, Lalloc, Hkv, D)).astype(np.float32)
+    v = rng.normal(size=(layers, S, Lalloc, Hkv, D)).astype(np.float32)
+    kq, ks, vq, vs = [], [], [], []
+    for i in range(layers):
+        a, b = quantize_kv(jnp.asarray(k[i]))
+        c, d = quantize_kv(jnp.asarray(v[i]))
+        kq.append(a); ks.append(jnp.swapaxes(b, -1, -2))
+        vq.append(c); vs.append(jnp.swapaxes(d, -1, -2))
+    kq = jnp.stack(kq); ks = jnp.stack(ks)
+    vq = jnp.stack(vq); vs = jnp.stack(vs)
+    q = jnp.asarray(rng.normal(size=(S, H, D)), jnp.float32)
+    lengths = jnp.asarray(
+        np.concatenate([np.full(S // 2, 4097), np.full(S - S // 2, 403)]),
+        jnp.int32)
+    log(f"kernel inputs ready; {mem()}")
+    for lyr in range(layers):
+        out = paged_decode_attention(q, kq, vq, lengths, ks, vs,
+                                     layer=jnp.int32(lyr))
+        out = np.asarray(out)
+        log(f"layer {lyr} kernel done; {mem()}")
+        kd = dequantize_kv(kq[lyr], ks[lyr], jnp.float32)
+        vd = dequantize_kv(vq[lyr], vs[lyr], jnp.float32)
+        # dense reference
+        mask = np.arange(Lalloc)[None] < np.asarray(lengths)[:, None]
+        qf = np.asarray(q)
+        kf = np.asarray(kd); vf = np.asarray(vd)
+        rep = H // Hkv
+        ref = np.zeros((S, H, D), np.float32)
+        for s in range(S):
+            for g in range(Hkv):
+                qs = qf[s, g * rep:(g + 1) * rep] * D ** -0.5
+                lg = qs @ kf[s, :, g].T
+                lg = np.where(mask[s][None], lg, -1e30)
+                p = np.exp(lg - lg.max(-1, keepdims=True))
+                p /= p.sum(-1, keepdims=True)
+                ref[s, g * rep:(g + 1) * rep] = p @ vf[s, :, g]
+        err = np.abs(out - ref).max()
+        log(f"layer {lyr} parity max err {err:.2e}")
+        assert err < 2e-2, err
+    log("kernel stage OK")
+
+
+def _text_engine(kv_quant="int8", with_resident=False, slots=24,
+                 max_len=4096, n_new=129, prompt_len=400):
+    import jax
+    import jax.numpy as jnp
+    from socioreasoner_tpu.generation.engine import DecodeEngine, Request
+    from socioreasoner_tpu.generation.sampling import SamplingParams
+    from socioreasoner_tpu.models.qwen2_5_vl import model as qmodel
+    from socioreasoner_tpu.models.qwen2_5_vl.config import Qwen25VLConfig
+
+    config = Qwen25VLConfig()
+    resident = []
+    log(f"init params (with_vision={with_resident}); {mem()}")
+    params = qmodel.init_params(config, jax.random.key(0), dtype=jnp.bfloat16,
+                                with_vision=with_resident)
+    if with_resident:
+        from socioreasoner_tpu.models.sam2 import model as smodel
+        from socioreasoner_tpu.models.sam2.config import Sam2Config
+        resident.append(smodel.init_params(Sam2Config.large(), jax.random.key(1),
+                                           dtype=jnp.bfloat16))
+    log(f"params ready; {mem()}")
+    engine = DecodeEngine(config, params, max_slots=slots, max_len=max_len,
+                          decode_chunk=64, prefill_buckets=(512, 1024, 2048, 4096),
+                          max_prefill_batch=8, kv_quant=kv_quant)
+    log(f"engine built (Lalloc={engine.Lalloc}); {mem()}")
+    rng = np.random.default_rng(0)
+    sp = SamplingParams(temperature=1.0, top_p=0.8, max_new_tokens=n_new)
+    reqs = [Request(request_id=i,
+                    prompt_ids=rng.integers(10, 100000, size=prompt_len).tolist(),
+                    sampling=sp) for i in range(slots)]
+    t0 = time.perf_counter()
+    outs = engine.generate(reqs)
+    dt = time.perf_counter() - t0
+    toks = sum(len(o.output_ids) for o in outs)
+    log(f"generate done: {toks} tokens in {dt:.1f}s ({toks/dt:.0f} tok/s); {mem()}")
+    assert len(outs) == slots
+    return engine
+
+
+def stage_engine():
+    _text_engine(with_resident=False)
+    log("engine stage OK")
+
+
+def stage_resident():
+    _text_engine(with_resident=True)
+    log("resident stage OK")
+
+
+def stage_engine4k():
+    # long prompts: fill the cache near Lalloc (the bench's real geometry —
+    # 4096-token prompts + 256 new at 24 slots)
+    _text_engine(with_resident=False, prompt_len=4000, n_new=257)
+    log("engine4k stage OK")
+
+
+def stage_bench():
+    import os
+    os.environ["SOCIO_BENCH_TILES"] = "24"
+    os.environ["SOCIO_BENCH_KV_QUANT"] = "int8"
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import bench
+    tiles_per_s, detail = bench.bench_socioseg()
+    log(f"bench stage OK: {tiles_per_s:.3f} tiles/s {detail}")
+
+
+if __name__ == "__main__":
+    stage = sys.argv[1]
+    log(f"stage {stage} starting")
+    dict(kernel=stage_kernel, engine=stage_engine, engine4k=stage_engine4k,
+         resident=stage_resident, bench=stage_bench)[stage]()

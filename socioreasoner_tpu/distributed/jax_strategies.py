@@ -105,6 +105,8 @@ class JaxTrainStrategy(TrainStrategy):
         if param_store is not None:
             self.param_store = param_store
         ta = training_args
+        self.grad_accum_steps = max(
+            1, int(getattr(ta, "gradient_accumulation_steps", 1) or 1))
         self.optimizer = make_optimizer(
             lr=getattr(ta, "learning_rate", 1e-6),
             weight_decay=getattr(ta, "weight_decay", 0.0),
@@ -112,7 +114,8 @@ class JaxTrainStrategy(TrainStrategy):
             max_grad_norm=getattr(ta, "max_grad_norm", 1.0),
             warmup_steps=getattr(ta, "warmup_steps", 0),
             total_steps=getattr(ta, "max_steps", None) or None,
-            schedule=getattr(ta, "lr_scheduler_type", "constant"))
+            schedule=getattr(ta, "lr_scheduler_type", "constant"),
+            gradient_accumulation_steps=self.grad_accum_steps)
         self.state = TrainState.create(params, self.optimizer)
         self.loss_cfg = loss_cfg or PPOLossConfig()
         cp, pp, vp_mesh = self._parallel_plan(mesh)

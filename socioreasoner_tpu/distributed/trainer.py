@@ -40,18 +40,28 @@ class TrainState(struct.PyTreeNode):
 def make_optimizer(lr: float = 1e-6, weight_decay: float = 0.0, b1: float = 0.9,
                    b2: float = 0.999, eps: float = 1e-8, max_grad_norm: float = 1.0,
                    warmup_steps: int = 0, total_steps: Optional[int] = None,
-                   schedule: str = "constant") -> optax.GradientTransformation:
-    """Optimizer factory (ref training_args lr/betas/clip; constant lr by default)."""
+                   schedule: str = "constant",
+                   gradient_accumulation_steps: int = 1
+                   ) -> optax.GradientTransformation:
+    """Optimizer factory (ref training_args lr/betas/clip; constant lr by default).
+
+    gradient_accumulation_steps > 1 wraps the chain in optax.MultiSteps: each
+    train_step call contributes one micro-batch gradient; parameters update
+    every K calls with the averaged gradient (the Megatron num_microbatches
+    role, ref megatron_strategy.py:368-376)."""
     if schedule == "cosine" and total_steps:
         sched = optax.warmup_cosine_decay_schedule(0.0, lr, warmup_steps, total_steps)
     elif warmup_steps > 0:
         sched = optax.linear_schedule(0.0, lr, warmup_steps)
     else:
         sched = lr
-    return optax.chain(
+    opt = optax.chain(
         optax.clip_by_global_norm(max_grad_norm),
         optax.adamw(sched, b1=b1, b2=b2, eps=eps, weight_decay=weight_decay),
     )
+    if gradient_accumulation_steps and gradient_accumulation_steps > 1:
+        opt = optax.MultiSteps(opt, every_k_schedule=gradient_accumulation_steps)
+    return opt
 
 
 def _model_log_probs(config: Qwen25VLConfig, params, batch: Dict,
