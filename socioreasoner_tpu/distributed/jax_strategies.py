@@ -37,24 +37,68 @@ from .strategy import InferenceStrategy, ParamStore, TrainStrategy
 from .trainer import TrainState, make_logprob_step, make_optimizer, make_train_step
 
 
+import contextlib
+
+
+def _mesh_ctx(mesh):
+    return jax.sharding.set_mesh(mesh) if mesh is not None \
+        else contextlib.nullcontext()
+
+
+def _put_batch(device_batch: Dict, mesh) -> Dict:
+    """Upload a host batch; with a mesh, shard batch dims over (dp, fsdp) and
+    replicate packed image embeds (their ragged row packing doesn't align with
+    the batch axis — GSPMD reshards inside the ViT scatter as needed)."""
+    if mesh is None:
+        return {k: jnp.asarray(v) for k, v in device_batch.items()}
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from ..parallel.sharding import batch_shardings
+    img = device_batch.pop("image_embeds", None)
+    shardings = batch_shardings(mesh, device_batch)
+    out = {k: jax.device_put(jnp.asarray(v), shardings[k])
+           for k, v in device_batch.items()}
+    if img is not None:
+        out["image_embeds"] = jax.device_put(jnp.asarray(img),
+                                             NamedSharding(mesh, P()))
+    return out
+
+
+def _batch_divisor(mesh) -> int:
+    if mesh is None:
+        return 1
+    return (mesh.shape.get("dp", 1) * mesh.shape.get("fsdp", 1))
+
+
 def _micro_batched_log_probs(logprob_step, params, batch: BatchProto,
-                             worker_config) -> Dict[str, np.ndarray]:
+                             worker_config, mesh=None) -> Dict[str, np.ndarray]:
     """Micro-batched forward (ref forward_step micro-batching,
-    megatron_strategy.py:127-157 — bounded activation memory at full scale)."""
+    megatron_strategy.py:127-157 — bounded activation memory at full scale).
+    With a mesh, each chunk is padded to a multiple of dp*fsdp (forward-only:
+    padded rows are sliced off the outputs — the DataProto pad_to_divisor
+    role, ref protocol.py:28)."""
     n = len(batch)
     mb = getattr(worker_config, "infer_batch_size", 0) or n
+    div = _batch_divisor(mesh)
+    mb = max(div, (mb // div) * div)
     img = batch.meta.get("image_embeds")
     per_sample_img = None if img is None else img.shape[0] // max(n, 1)
     outs: Dict[str, list] = {}
     for start in range(0, n, mb):
         chunk = batch.slice(start, start + mb)
-        device_batch = {k: jnp.asarray(v) for k, v in chunk.batch.items()}
+        k0 = len(chunk)
+        pad = (-k0) % div
+        device_batch = {k: np.asarray(v) for k, v in chunk.batch.items()}
+        if pad:
+            device_batch = {k: np.concatenate(
+                [v, np.repeat(v[-1:], pad, axis=0)], axis=0)
+                for k, v in device_batch.items()}
         if img is not None:
-            device_batch["image_embeds"] = jnp.asarray(
-                img[start * per_sample_img:(start + len(chunk)) * per_sample_img])
-        out = logprob_step(params, device_batch)
+            device_batch["image_embeds"] = \
+                img[start * per_sample_img:(start + k0) * per_sample_img]
+        with _mesh_ctx(mesh):
+            out = logprob_step(params, _put_batch(device_batch, mesh))
         for k, v in out.items():
-            outs.setdefault(k, []).append(np.asarray(v))
+            outs.setdefault(k, []).append(np.asarray(v)[:k0])
     return {k: np.concatenate(v, axis=0) for k, v in outs.items()}
 
 
@@ -76,15 +120,21 @@ def batch_image_embeds(config: Qwen25VLConfig, params, batch: BatchProto,
     pv_col = batch.non_tensor.get(f"{prefix}pixel_values")
     u8_col = batch.non_tensor.get(f"{prefix}pixel_u8")
     grid_col = batch.non_tensor.get(f"{prefix}grid_thw")
+    if u8_col is not None and image_config is None and any(
+            u is not None for u in u8_col):
+        # device patchify normalizes with the processor's mean/std and
+        # patch/merge geometry — guessing defaults silently produces wrong
+        # embeddings for customized processors (ADVICE r2)
+        raise ValueError(
+            "batch_image_embeds: pixel_u8 columns present but image_config "
+            "is None — pass the processor's ImageProcessorConfig")
     for i in range(len(batch)):
         u8 = u8_col[i] if u8_col is not None else None
         pv = pv_col[i] if pv_col is not None else None
         if u8 is not None:                 # defer_patchify: uint8 → device
             from ..models.qwen2_5_vl.vision import run_vision_u8
-            from ..datasets.processor import ImageProcessorConfig
             out.append(run_vision_u8(config.vision, params["vision"], u8,
-                                     grid_col[i],
-                                     image_config or ImageProcessorConfig()))
+                                     grid_col[i], image_config))
         elif pv is None:
             out.append(None)
         else:
@@ -102,8 +152,15 @@ class JaxTrainStrategy(TrainStrategy):
                    training_args=None, param_store: Optional[ParamStore] = None,
                    checkpoint_dir: Optional[str] = None, mesh=None):
         self.model_config = model_config
+        self.mesh = mesh
         if param_store is not None:
             self.param_store = param_store
+        if mesh is not None:
+            # shard the pytree over the mesh (the mcore dist-load role,
+            # ref megatron_strategy.py:69-96 + dist_converter TP splits);
+            # optimizer state created from sharded params inherits shardings
+            from ..parallel.sharding import shard_params
+            params = shard_params(params, mesh)
         ta = training_args
         self.grad_accum_steps = max(
             1, int(getattr(ta, "gradient_accumulation_steps", 1) or 1))
@@ -116,14 +173,16 @@ class JaxTrainStrategy(TrainStrategy):
             total_steps=getattr(ta, "max_steps", None) or None,
             schedule=getattr(ta, "lr_scheduler_type", "constant"),
             gradient_accumulation_steps=self.grad_accum_steps)
-        self.state = TrainState.create(params, self.optimizer)
+        with _mesh_ctx(mesh):
+            self.state = TrainState.create(params, self.optimizer)
         self.loss_cfg = loss_cfg or PPOLossConfig()
         cp, pp, vp_mesh = self._parallel_plan(mesh)
         self._train_step = jax.jit(make_train_step(
             model_config, self.loss_cfg, self.optimizer, cp=cp, pp=pp,
-            vp_mesh=vp_mesh))
-        self._logprob_step = jax.jit(make_logprob_step(model_config, cp=cp,
-                                                       pp=pp, vp_mesh=vp_mesh))
+            vp_mesh=vp_mesh, allow_flash=mesh is None))
+        self._logprob_step = jax.jit(make_logprob_step(
+            model_config, cp=cp, pp=pp, vp_mesh=vp_mesh,
+            allow_flash=mesh is None))
         self.param_store.put("actor", self.state.params)
         self.ckpt = CheckpointManager(checkpoint_dir) if checkpoint_dir else None
 
@@ -151,10 +210,18 @@ class JaxTrainStrategy(TrainStrategy):
         return self.state.params
 
     def train_step(self, batch: BatchProto, loss_func: Callable = None) -> Dict:
-        device_batch = {k: jnp.asarray(v) for k, v in batch.batch.items()}
+        div = _batch_divisor(self.mesh)
+        if len(batch) % div != 0:
+            raise ValueError(
+                f"train batch of {len(batch)} sequences not divisible by the "
+                f"mesh's dp*fsdp={div}; adjust backward_batch_size / "
+                "rollout_batch_size (padding would bias the loss)")
+        device_batch = {k: v for k, v in batch.batch.items()}
         if "image_embeds" in batch.meta:
-            device_batch["image_embeds"] = jnp.asarray(batch.meta["image_embeds"])
-        self.state, metrics = self._train_step(self.state, device_batch)
+            device_batch["image_embeds"] = batch.meta["image_embeds"]
+        with _mesh_ctx(self.mesh):
+            self.state, metrics = self._train_step(
+                self.state, _put_batch(device_batch, self.mesh))
         self.param_store.put("actor", self.state.params)
         return {k: float(v) for k, v in metrics.items()}
 
@@ -163,7 +230,7 @@ class JaxTrainStrategy(TrainStrategy):
 
     def compute_log_probs(self, batch: BatchProto) -> Dict[str, np.ndarray]:
         return _micro_batched_log_probs(self._logprob_step, self.state.params,
-                                        batch, self.worker_config)
+                                        batch, self.worker_config, self.mesh)
 
     def model_update(self, *args, **kwargs):
         """Expose current weights to the rollout engine (ref model_update plane)."""
@@ -195,12 +262,17 @@ class JaxInferStrategy(InferenceStrategy):
     def initialize(self, model_config: Qwen25VLConfig, params,
                    param_store: Optional[ParamStore] = None, mesh=None):
         self.model_config = model_config
+        self.mesh = mesh
         if param_store is not None:
             self.param_store = param_store
+        if mesh is not None:
+            from ..parallel.sharding import shard_params
+            params = shard_params(params, mesh)
         self._params = params
         cp, pp, vp_mesh = JaxTrainStrategy._parallel_plan(self, mesh)
-        self._logprob_step = jax.jit(make_logprob_step(model_config, cp=cp,
-                                                       pp=pp, vp_mesh=vp_mesh))
+        self._logprob_step = jax.jit(make_logprob_step(
+            model_config, cp=cp, pp=pp, vp_mesh=vp_mesh,
+            allow_flash=mesh is None))
 
     @property
     def params(self):
@@ -208,7 +280,7 @@ class JaxInferStrategy(InferenceStrategy):
 
     def compute_log_probs(self, batch: BatchProto) -> Dict[str, np.ndarray]:
         return _micro_batched_log_probs(self._logprob_step, self._params,
-                                        batch, self.worker_config)
+                                        batch, self.worker_config, self.mesh)
 
     def forward_step(self, batch: BatchProto, forward_func: Callable = None):
         return self.compute_log_probs(batch)

@@ -49,10 +49,13 @@ class SegStrategy(InferenceStrategy):
             to_run.append(i)
             images.append(img)
             prompt_lists.append(list(prompts))
-        # sub-batches of `infer_batch_size` (default 8): Hiera-large encoder
-        # activations at 1024² scale with batch — an uncapped batch-24 encode
-        # exceeds v5e HBM alongside the resident 3B decode weights
-        mb = getattr(self.worker_config, "infer_batch_size", 0) or 8
+        # sub-batches of strategy_config.seg_encode_batch (default
+        # min(infer_batch_size, 8)): Hiera-large encoder activations at 1024²
+        # scale with batch — an uncapped batch-24 encode exceeds v5e HBM
+        # alongside the resident 3B decode weights. infer_batch_size alone is
+        # NOT the cap: the reference yamls use it for requests-per-RPC (32),
+        # which would reintroduce the OOM (ADVICE r2 medium).
+        mb = self._encode_batch()
         for start in range(0, len(to_run), mb):
             idx = to_run[start:start + mb]
             self.predictor.set_images(images[start:start + mb])
@@ -61,3 +64,11 @@ class SegStrategy(InferenceStrategy):
             for i, m in zip(idx, masks):
                 results[i] = {"mask": m}
         return results
+
+    def _encode_batch(self) -> int:
+        wc = self.worker_config
+        sc = (wc.strategy_args.config if wc is not None else {}) or {}
+        if sc.get("seg_encode_batch"):
+            return int(sc["seg_encode_batch"])
+        ibs = getattr(wc, "infer_batch_size", 0) or 8
+        return min(int(ibs), 8)

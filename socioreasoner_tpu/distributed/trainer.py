@@ -124,7 +124,7 @@ def _model_log_probs(config: Qwen25VLConfig, params, batch: Dict,
 
 def make_train_step(config: Qwen25VLConfig, loss_cfg: PPOLossConfig,
                     optimizer: optax.GradientTransformation, remat: bool = True,
-                    cp=None, pp=None, vp_mesh=None
+                    cp=None, pp=None, vp_mesh=None, allow_flash: bool = True
                     ) -> Callable[[TrainState, Dict], Tuple[TrainState, Dict]]:
     """Build the jittable GRPO train step.
 
@@ -136,7 +136,10 @@ def make_train_step(config: Qwen25VLConfig, loss_cfg: PPOLossConfig,
     """
 
     from ..ops.flags import use_flash_attention
-    flash = use_flash_attention() and cp is None and pp is None
+    # allow_flash=False under a GSPMD mesh: the Pallas kernel is a custom
+    # call XLA cannot partition — CP's ring attention (shard_map) is the
+    # sharded-kernel path instead
+    flash = use_flash_attention() and cp is None and pp is None and allow_flash
 
     def train_step(state: TrainState, batch: Dict) -> Tuple[TrainState, Dict]:
         def loss_fn(params):
@@ -160,11 +163,12 @@ def make_train_step(config: Qwen25VLConfig, loss_cfg: PPOLossConfig,
 
 
 def make_logprob_step(config: Qwen25VLConfig, remat: bool = False, cp=None,
-                      pp=None, vp_mesh=None) -> Callable[[Any, Dict], Dict]:
+                      pp=None, vp_mesh=None, allow_flash: bool = True
+                      ) -> Callable[[Any, Dict], Dict]:
     """Forward-only: {"log_probs": (B,L-1), "entropy": (B,L-1)} masked to response.
     Uses the Pallas flash kernel on TPU (forward has no autodiff requirement)."""
     from ..ops.flags import use_flash_attention
-    flash = use_flash_attention() and cp is None and pp is None
+    flash = use_flash_attention() and cp is None and pp is None and allow_flash
 
     def logprob_step(params, batch: Dict) -> Dict:
         lp, ent = _model_log_probs(config, params, batch, remat, use_flash=flash,

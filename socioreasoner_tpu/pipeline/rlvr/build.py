@@ -105,8 +105,20 @@ def build_infer_pipeline(cfg: SocioSegConfig, dtype=jnp.bfloat16):
         dataset=dataset, engine_kwargs=default_engine_kwargs(cfg))
 
 
+def build_train_mesh(cfg: SocioSegConfig):
+    """ResourceManager mesh for the train/logprob plane from the yaml's
+    strategy_config tp/cp/pp/fsdp knobs (ref rlvr_megatron.yaml:90 tp=2 via
+    megatron_strategy.py:69-96). None on a single chip with all knobs at 1."""
+    from ...configs.validation import validate_config
+    from ...runtime.resource_manager import ResourceManager
+    validate_config(cfg)
+    rm = ResourceManager()
+    return rm, rm.allocate_mesh("actor_train", cfg.actor_train)
+
+
 def build_train_pipeline(cfg: SocioSegConfig, dtype=jnp.bfloat16):
     from .socioseg_pipeline import SocioSegPipeline
+    _, mesh = build_train_mesh(cfg)
     model_config, params = load_policy(cfg, dtype)
     _, ref_params = load_policy(cfg, dtype)   # frozen copy of the initial policy
     sam_config, sam_params = load_sam(cfg, dtype)
@@ -116,4 +128,4 @@ def build_train_pipeline(cfg: SocioSegConfig, dtype=jnp.bfloat16):
         cfg, model_config=model_config, policy_params=params,
         reference_params=ref_params, sam_config=sam_config,
         sam_params=sam_params, processor=processor, dataset=dataset,
-        engine_kwargs=default_engine_kwargs(cfg))
+        engine_kwargs=default_engine_kwargs(cfg), mesh=mesh)

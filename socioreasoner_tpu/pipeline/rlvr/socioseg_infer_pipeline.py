@@ -47,16 +47,20 @@ class SocioSegInferPipeline(BasePipeline):
                  processor: SocioProcessor, dataset: List[Dict],
                  engine_kwargs: Optional[Dict] = None):
         super().__init__(pipeline_config)
+        from ...configs.validation import validate_config
+        validate_config(pipeline_config)
         self.model_config = model_config
         self.processor = processor
         self.dataset = dataset
 
         self.param_store = ParamStore()
         self.param_store.put("rollout", policy_params)
-        self.actor_infer = JaxDecodeStrategy(
-            worker_config=pipeline_config.actor_infer,
-            param_store=self.param_store)
-        self.actor_infer.initialize(model_config, engine_kwargs=engine_kwargs)
+        from .socioseg_pipeline import _build_decode_replicas
+        from ...runtime.generate_scheduler import LocalGenerateGroup
+        self.decode_replicas = _build_decode_replicas(
+            pipeline_config, model_config, self.param_store, engine_kwargs)
+        self.actor_infer = self.decode_replicas[0]
+        self.decode_group = LocalGenerateGroup(self.decode_replicas)
         self.seg_infer = SegStrategy(worker_config=pipeline_config.seg_infer)
         self.seg_infer.initialize(sam_config, sam_params)
 
@@ -90,7 +94,7 @@ class SocioSegInferPipeline(BasePipeline):
             "attention_mask": batch.batch["map_attention_mask"],
             "position_ids": batch.batch["map_position_ids"],
         }, meta={"image_embeds_list": embeds})
-        seqs = self.actor_infer.generate(gen_batch, cfg.actor_infer.generating_args)
+        seqs = self.decode_group.generate(gen_batch, cfg.actor_infer.generating_args)
         map_texts = self._decode_responses(seqs, batch.batch["map_input_ids"])
         s1_masks = self._segment(batch, map_texts, stage=1)
         s2_prompts, s2_images, bbox_texts = [], [], []
@@ -110,7 +114,7 @@ class SocioSegInferPipeline(BasePipeline):
             "attention_mask": s2_batch.batch["attention_mask"],
             "position_ids": s2_batch.batch["position_ids"],
         }, meta={"image_embeds_list": embeds2})
-        seqs2 = self.actor_infer.generate(gen2, cfg.actor_infer.generating_args)
+        seqs2 = self.decode_group.generate(gen2, cfg.actor_infer.generating_args)
         sat_texts = self._decode_responses(seqs2, s2_batch.batch["input_ids"])
         s2_masks = self._segment(batch, sat_texts, stage=2)
         return {"map_texts": map_texts, "sat_texts": sat_texts,
@@ -142,7 +146,7 @@ class SocioSegInferPipeline(BasePipeline):
                 "position_ids": batch.batch["map_position_ids"],
             }, meta={"image_embeds_list": embeds})
             with mm.timer("generate_s1"):
-                seqs = self.actor_infer.generate(
+                seqs = self.decode_group.generate(
                     gen_batch, cfg.actor_infer.generating_args)
             prompt_lens = np.asarray(batch.batch["map_attention_mask"]).sum(-1)
             map_texts = self._decode_responses(seqs, batch.batch["map_input_ids"])
@@ -176,7 +180,7 @@ class SocioSegInferPipeline(BasePipeline):
                 "position_ids": s2_batch.batch["position_ids"],
             }, meta={"image_embeds_list": embeds2})
             with mm.timer("generate_s2"):
-                seqs2 = self.actor_infer.generate(
+                seqs2 = self.decode_group.generate(
                     gen2, cfg.actor_infer.generating_args)
             sat_texts = self._decode_responses(seqs2, s2_batch.batch["input_ids"])
 

@@ -45,18 +45,47 @@ from .parsing import parse_bboxes, strip_special_tokens
 from .rewards.socioseg import compute_socioseg_rewards
 
 
+def _build_decode_replicas(cfg, model_config, param_store,
+                           engine_kwargs) -> List[JaxDecodeStrategy]:
+    """actor_infer.strategy_config.dp_size decode replicas, each engine pinned
+    to its own device (ref vllm cluster dp = world_size, vllm_strategy.py:
+    98-99); the GenerateScheduler least-loaded-routes requests across them."""
+    import jax
+    sc = cfg.actor_infer.strategy_args.config
+    dp = int(sc.get("dp_size", 1) or 1)
+    mapping = cfg.actor_infer.resolved_device_mapping()
+    devices = ([jax.devices()[i] for i in mapping] if mapping
+               else jax.devices())
+    replicas = []
+    for r in range(dp):
+        ek = dict(engine_kwargs or {})
+        if dp > 1:
+            ek["device"] = devices[r % len(devices)]
+        s = JaxDecodeStrategy(worker_config=cfg.actor_infer,
+                              param_store=param_store)
+        s.initialize(model_config, engine_kwargs=ek)
+        replicas.append(s)
+    return replicas
+
+
 class SocioSegPipeline(BasePipeline):
     def __init__(self, pipeline_config: SocioSegConfig, *,
                  model_config: Qwen25VLConfig, policy_params, reference_params,
                  sam_config: Sam2Config, sam_params,
                  processor: SocioProcessor, dataset: List[Dict],
                  val_dataset: Optional[List[Dict]] = None,
-                 engine_kwargs: Optional[Dict] = None):
+                 engine_kwargs: Optional[Dict] = None, mesh=None):
         super().__init__(pipeline_config)
         cfg = pipeline_config
+        from ...configs.validation import validate_config
+        validate_config(cfg)
         self.model_config = model_config
         self.processor = processor
         self.dataset = dataset
+        # mesh: the train/logprob GSPMD mesh from ResourceManager (yaml
+        # strategy_config tp/cp/pp/fsdp knobs; ref rlvr_megatron.yaml:90 tp=2
+        # via megatron_strategy.py:69-96). None on a single chip.
+        self.mesh = mesh
 
         self.param_store = ParamStore()
         self.actor_train = JaxTrainStrategy(worker_config=cfg.actor_train,
@@ -68,14 +97,14 @@ class SocioSegPipeline(BasePipeline):
             loss_agg_mode=cfg.loss_agg_mode)
         self.actor_train.initialize(model_config, policy_params, loss_cfg,
                                     cfg.actor_train.training_args,
-                                    checkpoint_dir=None)
+                                    checkpoint_dir=None, mesh=mesh)
         self.reference = JaxInferStrategy(worker_config=cfg.reference,
                                           param_store=self.param_store)
-        self.reference.initialize(model_config, reference_params)
+        self.reference.initialize(model_config, reference_params, mesh=mesh)
         self.actor_train.model_update()
-        self.actor_infer = JaxDecodeStrategy(worker_config=cfg.actor_infer,
-                                             param_store=self.param_store)
-        self.actor_infer.initialize(model_config, engine_kwargs=engine_kwargs)
+        self.decode_replicas = _build_decode_replicas(
+            cfg, model_config, self.param_store, engine_kwargs)
+        self.actor_infer = self.decode_replicas[0]
         self.seg_infer = SegStrategy(worker_config=cfg.seg_infer)
         self.seg_infer.initialize(sam_config, sam_params)
 
@@ -86,8 +115,8 @@ class SocioSegPipeline(BasePipeline):
         # stage-1 wants (ref rlvr_socioseg_vlm_pipeline.py:658-688)
         from ...runtime.generate_scheduler import (GenerateScheduler,
                                                    LocalGenerateGroup)
-        self.generate_scheduler = GenerateScheduler(
-            LocalGenerateGroup([self.actor_infer]), cfg)
+        self.decode_group = LocalGenerateGroup(self.decode_replicas)
+        self.generate_scheduler = GenerateScheduler(self.decode_group, cfg)
         self.kl_ctrl = get_kl_controller(cfg.init_kl_coef, cfg.target_kl,
                                          cfg.kl_horizon)
         self.val_dataset = val_dataset or []
@@ -112,7 +141,8 @@ class SocioSegPipeline(BasePipeline):
             # 2 ---- weight flow to the decode engine
             with mm.timer("model_update"):
                 self.actor_train.model_update()
-                self.actor_infer.model_update()
+                for rep in self.decode_replicas:
+                    rep.model_update()
 
             batch = self.collator(rows)
             rollout_params = self.param_store.get("rollout")
@@ -133,7 +163,7 @@ class SocioSegPipeline(BasePipeline):
                     out = self.generate_scheduler.generate_requests(gen_batch, ga)
                     seqs1 = np.asarray(out.batch["output"])
                 else:
-                    seqs1 = self.actor_infer.generate(gen_batch, ga)
+                    seqs1 = self.decode_group.generate(gen_batch, ga)
 
             map_post = fn.postprocess_generate(
                 input_ids=np.asarray(batch.batch["map_input_ids"]),
@@ -178,7 +208,7 @@ class SocioSegPipeline(BasePipeline):
                 import copy as _copy
                 ga_one = _copy.copy(ga)
                 ga_one.num_return_sequences = 1
-                seqs2 = self.actor_infer.generate(gen2, ga_one)
+                seqs2 = self.decode_group.generate(gen2, ga_one)
             sat_post = fn.postprocess_generate(
                 input_ids=np.asarray(s2_batch.batch["input_ids"]),
                 attention_mask=np.asarray(s2_batch.batch["attention_mask"]),
@@ -270,7 +300,7 @@ class SocioSegPipeline(BasePipeline):
                 "attention_mask": batch.batch["map_attention_mask"],
                 "position_ids": batch.batch["map_position_ids"],
             }, meta={"image_embeds_list": embeds})
-            seqs = self.actor_infer.generate(gen_batch, ga)
+            seqs = self.decode_group.generate(gen_batch, ga)
             post = fn.postprocess_generate(
                 input_ids=np.asarray(batch.batch["map_input_ids"]),
                 attention_mask=np.asarray(batch.batch["map_attention_mask"]),
@@ -298,7 +328,7 @@ class SocioSegPipeline(BasePipeline):
                 "attention_mask": s2_batch.batch["attention_mask"],
                 "position_ids": s2_batch.batch["position_ids"],
             }, meta={"image_embeds_list": embeds2})
-            seqs2 = self.actor_infer.generate(gen2, ga)
+            seqs2 = self.decode_group.generate(gen2, ga)
             post2 = fn.postprocess_generate(
                 input_ids=np.asarray(s2_batch.batch["input_ids"]),
                 attention_mask=np.asarray(s2_batch.batch["attention_mask"]),

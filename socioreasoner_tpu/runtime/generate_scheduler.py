@@ -163,7 +163,34 @@ class LocalGenerateGroup:
             s.stop_server()
 
     def generate(self, batch: BatchProto, generating_args):
-        return self.workers[0].generate(batch, generating_args)
+        """Batch generate; with >1 decode replica the batch splits across
+        workers (DP decode, ref vllm dp=world_size vllm_strategy.py:98-99)
+        and runs concurrently — each replica's engine is pinned to its own
+        device, so the device work genuinely overlaps."""
+        if len(self.workers) == 1:
+            return self.workers[0].generate(batch, generating_args)
+        n_w = min(len(self.workers), len(batch))
+        chunks = batch.chunk(n_w)
+        # meta copies wholesale through slice(); re-split the per-sample
+        # image embeds list to match each chunk's rows
+        embeds = batch.meta.get("image_embeds_list")
+        if embeds is not None:
+            start = 0
+            for c in chunks:
+                c.meta = dict(c.meta)
+                c.meta["image_embeds_list"] = embeds[start:start + len(c)]
+                start += len(c)
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=n_w) as ex:
+            outs = list(ex.map(
+                lambda wc: wc[0].generate(wc[1], generating_args),
+                zip(self.workers, chunks)))
+        # re-pad each worker's (B_i*n, P+max_out_i) to the common width
+        pad_id = batch.meta.get("pad_token_id", 0)
+        width = max(o.shape[1] for o in outs)
+        full = [np.pad(o, ((0, 0), (0, width - o.shape[1])),
+                       constant_values=pad_id) for o in outs]
+        return np.concatenate(full, axis=0)
 
 
 class DynamicSamplingScheduler:
