@@ -44,7 +44,8 @@ def main():
 
     def init(self, *a, **k):
         _orig_init(self, *a, **k)
-        self.actor_infer.generate = timed("generate", self.actor_infer.generate)
+        self.decode_group.generate = timed("generate",
+                                           self.decode_group.generate)
         self._segment = timed("segment", self._segment)
         self.collator = timed("collator", self.collator)
     sip.SocioSegInferPipeline.__init__ = init

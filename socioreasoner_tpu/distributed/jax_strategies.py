@@ -286,6 +286,60 @@ class JaxInferStrategy(InferenceStrategy):
         return self.compute_log_probs(batch)
 
 
+class JaxRewardStrategy(InferenceStrategy):
+    """Sequence-classification reward-model backend (ref RewardWorker,
+    roll/pipeline/base_worker.py:537-603: AutoModelForSequenceClassification
+    protocol — scalar value head on the backbone, reward read at the last
+    non-pad token). Params must carry value_head_w/value_head_b
+    (trainer.add_value_head)."""
+
+    strategy_name = "jax_reward"
+
+    def initialize(self, model_config: Qwen25VLConfig, params,
+                   param_store: Optional[ParamStore] = None, mesh=None):
+        self.model_config = model_config
+        self.mesh = mesh
+        if param_store is not None:
+            self.param_store = param_store
+        if "value_head_w" not in params:
+            raise ValueError("jax_reward strategy needs a value head "
+                             "(trainer.add_value_head) on the params pytree")
+        if mesh is not None:
+            from ..parallel.sharding import shard_params
+            head = {k: params[k] for k in ("value_head_w", "value_head_b")}
+            body = {k: v for k, v in params.items() if k not in head}
+            from jax.sharding import NamedSharding, PartitionSpec
+            params = {**shard_params(body, mesh),
+                      **jax.device_put(head,
+                                       NamedSharding(mesh, PartitionSpec()))}
+        self._params = params
+
+        def value_step(params, batch):
+            hidden, _ = qmodel.forward(
+                self.model_config, params, batch["input_ids"],
+                batch["position_ids"], batch.get("attention_mask"),
+                image_embeds=batch.get("image_embeds"), logits=False)
+            values = (hidden @ params["value_head_w"]
+                      + params["value_head_b"])[..., 0]
+            # shifted frame: value at position i scores prefix ..i (ref
+            # forward_func_values output_tensor[:, 1:])
+            return {"values": values[:, 1:]}
+
+        self._value_step = jax.jit(value_step)
+
+    @property
+    def params(self):
+        return self._params
+
+    def compute_values(self, batch: BatchProto) -> np.ndarray:
+        out = _micro_batched_log_probs(self._value_step, self._params, batch,
+                                       self.worker_config, self.mesh)
+        return out["values"]
+
+    def forward_step(self, batch: BatchProto, forward_func: Callable = None):
+        return {"values": self.compute_values(batch)}
+
+
 class JaxDecodeStrategy(InferenceStrategy):
     """Rollout backend (reference vllm role): continuous-batching engine +
     request-level server."""

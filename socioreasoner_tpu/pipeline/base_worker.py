@@ -128,6 +128,82 @@ class SegWorker(Worker):
         return self._segment(data, "response_text", parse_visual_prompts_s2)
 
 
+class RuleRewardWorker(Worker):
+    """Generic text rule-reward worker: `compute_rewards` over response_text +
+    ground_truth columns. Subclasses bind a reward function — the worker_cls
+    plug-point for the generic RLVR pipeline (ref math_rule_reward_worker.py
+    etc., named per-domain in rlvr_megatron.yaml rewards:)."""
+
+    reward_fn = None          # staticmethod(fn(texts, gts) -> dict of arrays)
+
+    @register(dispatch_mode=Dispatch.ONE_TO_ALL)
+    def initialize(self, pipeline_config=None, tokenizer=None):
+        super().initialize(pipeline_config)
+        self.tokenizer = tokenizer
+
+    @register(dispatch_mode=Dispatch.DP_MP_COMPUTE)
+    def compute_rewards(self, data: BatchProto) -> BatchProto:
+        fn = type(self).reward_fn
+        texts = [str(t) for t in data.non_tensor["response_text"]]
+        gts = list(data.non_tensor["ground_truth"])
+        out = fn(texts, gts)
+        tensors = {k: np.asarray(v) for k, v in out.items()
+                   if isinstance(v, (np.ndarray, list))}
+        meta = {k: v for k, v in out.items() if k not in tensors}
+        return BatchProto.from_dict(tensors=tensors, meta=meta)
+
+
+class MathRuleRewardWorker(RuleRewardWorker):
+    """ref math_rule_reward_worker.py (math-verify / latex equivalence)."""
+    from .rlvr.rewards.math_rule import compute_math_rewards as _fn
+    reward_fn = staticmethod(_fn)
+
+
+class CodeSandboxRewardWorker(RuleRewardWorker):
+    """ref code_sandbox_reward_worker.py (execute generated code vs tests)."""
+    from .rlvr.rewards.code_sandbox import compute_code_rewards as _fn
+    reward_fn = staticmethod(_fn)
+
+
+class CrossThinkQARewardWorker(RuleRewardWorker):
+    """ref crossthinkqa_rule_reward_worker.py."""
+    from .rlvr.rewards.general_rules import compute_crossthink_rewards as _fn
+    reward_fn = staticmethod(_fn)
+
+
+class GeneralValRuleRewardWorker(RuleRewardWorker):
+    """ref general_val_rule_reward_worker.py."""
+    from .rlvr.rewards.general_rules import compute_general_val_scores as _fn
+    reward_fn = staticmethod(_fn)
+
+
+class RewardWorker(Worker):
+    """Model-based reward worker (ref base_worker.py:537-603): a sequence-
+    classification RM — scalar value head on the policy backbone via
+    JaxRewardStrategy — scored at the last response token."""
+
+    @register(dispatch_mode=Dispatch.ONE_TO_ALL)
+    def initialize(self, pipeline_config=None, strategy=None, tokenizer=None):
+        super().initialize(pipeline_config)
+        self.strategy = strategy
+        self.tokenizer = tokenizer
+
+    @register(dispatch_mode=Dispatch.DP_MP_COMPUTE)
+    def compute_rewards(self, data: BatchProto) -> BatchProto:
+        """token_level_rewards (B, L-1) + response_level_rewards (B,): the
+        value at the sequence's last non-pad position (ref :585-589 —
+        argmax-of-pad minus one, wrapped modulo L-1 for full rows)."""
+        token_level = np.asarray(self.strategy.compute_values(data))
+        input_ids = np.asarray(data.batch["input_ids"])[:, 1:]
+        pad_id = data.meta.get("pad_token_id", 0)
+        is_pad = (input_ids == pad_id).astype(np.int64)
+        seq_lengths = (np.argmax(is_pad, axis=-1) - 1) % input_ids.shape[-1]
+        response_level = token_level[np.arange(len(token_level)), seq_lengths]
+        return BatchProto.from_dict(tensors={
+            "token_level_rewards": token_level,
+            "response_level_rewards": response_level})
+
+
 class SocioSegRuleRewardWorker(Worker):
     """CPU rule-reward worker (ref socioseg_rule_reward_worker.py:258)."""
 
@@ -150,7 +226,8 @@ class SocioSegRuleRewardWorker(Worker):
             gt_bbox_texts=[str(t) for t in data.non_tensor["gt_bbox"]],
             stage1_bbox_texts=[str(t) for t in data.non_tensor["bboxs_text"]],
         )
-        tensors = {k: v for k, v in out.items()
-                   if isinstance(v, np.ndarray) and not k.startswith("components/")}
+        # component arrays ride along so a multi-worker cluster's collect
+        # (concat) lets the caller recompute exact means over the full batch
+        tensors = {k: v for k, v in out.items() if isinstance(v, np.ndarray)}
         return BatchProto.from_dict(tensors=tensors,
                                     meta={"metrics": out["metrics"]})

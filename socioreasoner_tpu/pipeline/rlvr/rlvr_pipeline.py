@@ -49,6 +49,20 @@ class RLVRPipeline(BasePipeline):
         self.model_config = model_config
         self.processor = processor
         self.dataset = dataset
+        # reward resolution order: explicit callables > yaml rewards:
+        # worker_cls clusters (ref rlvr_megatron.yaml:162-163 resolved at
+        # cluster.py:40-41) > built-in math rule
+        self.reward_clusters = {}
+        if reward_fns is None and cfg.rewards:
+            from ...runtime.cluster import Cluster
+            reward_fns = {}
+            for domain, wc in cfg.rewards.items():
+                if not wc.worker_cls:
+                    continue
+                cluster = Cluster(domain, wc.worker_cls, wc)
+                cluster.initialize(pipeline_config=cfg, tokenizer=processor)
+                self.reward_clusters[domain] = cluster
+                reward_fns[domain] = self._cluster_reward_fn(cluster)
         self.reward_fns = reward_fns or {
             "math": lambda resp, gts: compute_math_rewards(resp, gts)}
 
@@ -98,6 +112,21 @@ class RLVRPipeline(BasePipeline):
             self._data_iter = _it.cycle(dataset) if dataset else iter(())
 
     # ---------------------------------------------------------------- collate
+    @staticmethod
+    def _cluster_reward_fn(cluster):
+        """Adapt a reward worker Cluster to the (texts, gts) -> dict reward-fn
+        contract; the cluster DP-chunks the batch over its world_size."""
+        def fn(texts, gts):
+            data = BatchProto.from_dict(non_tensors={
+                "response_text": [str(t) for t in texts],
+                "ground_truth": list(gts)})
+            out = cluster.compute_rewards(data)
+            result = {k: np.asarray(v) for k, v in out.batch.items()}
+            for k, v in out.meta.items():
+                result.setdefault(k, v)
+            return result
+        return fn
+
     def _collate(self, rows: List[Dict]) -> BatchProto:
         pad = self.model_config.pad_token_id
         P = self.pipeline_config.prompt_length

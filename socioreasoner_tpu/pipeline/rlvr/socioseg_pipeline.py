@@ -107,6 +107,18 @@ class SocioSegPipeline(BasePipeline):
         self.actor_infer = self.decode_replicas[0]
         self.seg_infer = SegStrategy(worker_config=cfg.seg_infer)
         self.seg_infer.initialize(sam_config, sam_params)
+        # config-driven reward plug-point (ref rewards: worker_cls strings in
+        # rlvr_megatron.yaml:162-163 resolved at cluster.py:40-41): when the
+        # yaml names a reward worker, score through its Cluster; otherwise
+        # the built-in rule reward runs inline
+        self.reward_cluster = None
+        for name, wc in (cfg.rewards or {}).items():
+            if wc.worker_cls:
+                from ...runtime.cluster import Cluster
+                self.reward_cluster = Cluster(name, wc.worker_cls, wc)
+                self.reward_cluster.initialize(pipeline_config=cfg,
+                                               tokenizer=processor)
+                break
 
         self.collator = SocioSegCollator(processor, model_config,
                                          prompt_length=cfg.prompt_length)
@@ -236,14 +248,8 @@ class SocioSegPipeline(BasePipeline):
 
             # 9 ---- rewards
             with mm.timer("rewards"):
-                gt_masks = [np.asarray(m.convert("L")) if hasattr(m, "convert")
-                            else np.asarray(m)
-                            for m in expanded.non_tensor["gt_mask"]]
-                rewards = compute_socioseg_rewards(
-                    map_responses=map_texts, sat_responses=sat_texts,
-                    map_masks=map_masks, sat_masks=sat_masks, gt_masks=gt_masks,
-                    gt_bbox_texts=[str(t) for t in expanded.non_tensor["gt_bbox"]],
-                    stage1_bbox_texts=bbox_texts)
+                rewards = self._compute_rewards(expanded, map_texts, sat_texts,
+                                                map_masks, sat_masks, bbox_texts)
             mm.add_metrics({f"critic/{k}": v for k, v in rewards["metrics"].items()})
             mm.add_metric("critic/seg_iou", float(rewards["seg_iou_rewards"].mean()))
 
@@ -348,6 +354,38 @@ class SocioSegPipeline(BasePipeline):
                 gious.append(compute_giou(s2_masks[i], gt))
                 tags.append(str(row.get("tag", "")))
         return grouped_giou(gious, tags)
+
+    # ---------------------------------------------------------------- rewards
+    def _compute_rewards(self, expanded: BatchProto, map_texts, sat_texts,
+                         map_masks, sat_masks, bbox_texts) -> Dict:
+        """Rule rewards — via the config-built reward Cluster when the yaml
+        names a worker_cls (ref compute_rewards_split RPC, rlvr_socioseg_vlm_
+        pipeline.py:922), inline otherwise."""
+        gt_masks = [np.asarray(m.convert("L")) if hasattr(m, "convert")
+                    else np.asarray(m)
+                    for m in expanded.non_tensor["gt_mask"]]
+        if self.reward_cluster is None:
+            return compute_socioseg_rewards(
+                map_responses=map_texts, sat_responses=sat_texts,
+                map_masks=map_masks, sat_masks=sat_masks, gt_masks=gt_masks,
+                gt_bbox_texts=[str(t) for t in expanded.non_tensor["gt_bbox"]],
+                stage1_bbox_texts=bbox_texts)
+        data = BatchProto.from_dict(non_tensors={
+            "map_response_text": list(map_texts),
+            "sat_response_text": list(sat_texts),
+            "map_mask": list(map_masks), "sat_mask": list(sat_masks),
+            "gt_mask": list(expanded.non_tensor["gt_mask"]),
+            "gt_bbox": [str(t) for t in expanded.non_tensor["gt_bbox"]],
+            "bboxs_text": list(bbox_texts)})
+        out = self.reward_cluster.compute_rewards_split(data)
+        rewards = {k: np.asarray(v) for k, v in out.batch.items()
+                   if not k.startswith("components/")}
+        # exact full-batch means from the concatenated component arrays
+        # (per-chunk means in meta would be wrong for uneven chunks)
+        rewards["metrics"] = {
+            f"{k.split('/', 1)[1]}_reward_mean": float(np.mean(v))
+            for k, v in out.batch.items() if k.startswith("components/")}
+        return rewards
 
     # ----------------------------------------------------------------- stages
     def _train_stage(self, train_batch: BatchProto, response_rewards: np.ndarray,
