@@ -80,7 +80,7 @@ class DecodeEngine:
                  cache_dtype=jnp.bfloat16, kv_quant: Optional[str] = None,
                  weight_quant: Optional[str] = None,
                  max_prefill_batch: Optional[int] = None, seed: int = 0,
-                 device=None):
+                 device=None, sampler_exact: bool = False):
         self.config = config
         if weight_quant not in (None, "int8"):
             raise ValueError(f"weight_quant must be None or 'int8', got "
@@ -92,6 +92,10 @@ class DecodeEngine:
         # vllm_strategy.py:98-99): committed params pull every jit call —
         # caches, slot state, sampling — onto this replica's chip
         self.device = device
+        # exact lax.top_k candidate selection for parity/eval runs (ADVICE
+        # r2: approx_max_k can drop a high-probability rank-2 candidate that
+        # shares the max's reduction bin; greedy is exact either way)
+        self.sampler_exact = sampler_exact
         if device is not None:
             params = jax.device_put(params, device)
         self.params = params
@@ -498,7 +502,8 @@ class DecodeEngine:
         last_hidden = jnp.take_along_axis(
             hidden, (Ps - 1)[:, None, None].astype(jnp.int32), axis=1)[:, 0]
         tok = sample_tokens(head_logits(params, last_hidden), key,
-                            temps, top_ps, top_ks)
+                            temps, top_ps, top_ks,
+                            exact=self.sampler_exact)
         out = {}
         for name in caches:
             upd = new_cache[name].astype(caches[name].dtype)
@@ -533,7 +538,8 @@ class DecodeEngine:
                 cache=cache, cache_positions=lengths[:, None],
                 use_flash=use_flash_attention())
             key, sub = jax.random.split(key)
-            tok = sample_tokens(logits[:, 0], sub, temps, top_ps, top_ks)
+            tok = sample_tokens(logits[:, 0], sub, temps, top_ps, top_ks,
+                                exact=self.sampler_exact)
             tok = jnp.where(active, tok, cfg.pad_token_id).astype(jnp.int32)
             toks = toks.at[:, i].set(tok)
             lengths = jnp.where(active, lengths + 1, lengths)

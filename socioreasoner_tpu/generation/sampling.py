@@ -47,7 +47,9 @@ MAX_CANDIDATES = 256   # sampling candidate pool (a full-vocab sort per decode
 APPROX_RECALL = 0.95
 
 
-def _topk_candidates(scaled: jnp.ndarray, K: int):
+def _topk_candidates(scaled: jnp.ndarray, K: int, exact: bool = False):
+    if exact:
+        return jax.lax.top_k(scaled, K)
     vals, idx = jax.lax.approx_max_k(scaled, K, recall_target=APPROX_RECALL)
     return vals, idx
 
@@ -58,6 +60,8 @@ def sample_tokens(
     temperature: jnp.ndarray,     # (B,) — 0/negative → greedy
     top_p: jnp.ndarray,           # (B,)
     top_k: jnp.ndarray,           # (B,) int32 — 0 → disabled
+    exact: bool = False,          # exact lax.top_k candidates (parity/eval
+                                  # runs; ~2.8 ms/step @24 slots on v5e)
 ) -> jnp.ndarray:
     """Returns (B,) sampled token ids. Greedy where temperature <= 0.
 
@@ -72,7 +76,7 @@ def sample_tokens(
 
     scaled = logits / jnp.maximum(temperature, 1e-5)[:, None]
     K = min(MAX_CANDIDATES, V)
-    vals, idx = _topk_candidates(scaled, K)                     # (B, K) descending
+    vals, idx = _topk_candidates(scaled, K, exact)              # (B, K) descending
 
     # top-k mask within candidates: position j kept iff j < k (k==0 → keep all)
     pos = jnp.arange(K)[None, :]

@@ -90,6 +90,9 @@ def default_engine_kwargs(cfg: SocioSegConfig) -> Dict:
         kwargs["kv_quant"] = sc["kv_quant"]
     if sc.get("weight_quant"):
         kwargs["weight_quant"] = sc["weight_quant"]
+    if sc.get("sampler_exact"):
+        # exact lax.top_k candidate selection for parity/eval runs
+        kwargs["sampler_exact"] = True
     return kwargs
 
 

@@ -129,7 +129,10 @@ class MathVLMPipeline(BasePipeline):
             })
             if embeds and embeds[0] is not None:
                 rep = [e for e in embeds for _ in range(n)]
-                train_batch.meta["image_embeds"] = np.concatenate(rep, axis=0)
+                # embeds are device-resident (batch_image_embeds) — keep them
+                # on device for the logprob steps, no host round-trip
+                train_batch.meta["image_embeds"] = jnp.concatenate(
+                    [jnp.asarray(e) for e in rep], axis=0)
 
             with mm.timer("logprobs"):
                 old_lp = self.actor_train.compute_log_probs(train_batch)["log_probs"]
