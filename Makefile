@@ -2,10 +2,13 @@
 # the PALLAS_AXON_POOL_IPS= prefix skips it for CPU runs.
 CPU_ENV := PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu
 
-test:
-	$(CPU_ENV) python -m pytest tests/ -x -q
+test:            # fast dev loop (~3 min): host-side + small-jit tests
+	$(CPU_ENV) python -m pytest tests/ -x -q -m "not slow"
 
-test-all:
+test-slow:       # the compile-heavy e2e/parity tier
+	$(CPU_ENV) python -m pytest tests/ -q -m slow
+
+test-all:        # everything (~45 min serial)
 	$(CPU_ENV) python -m pytest tests/ -q
 
 native:
@@ -13,4 +16,4 @@ native:
 
 bench:
 	python bench.py
-.PHONY: test test-all native bench
+.PHONY: test test-slow test-all native bench

@@ -111,7 +111,12 @@ def bench_socioseg(n_tiles: int = None, max_new: int = 256, tiny: bool = False,
         sam_config = Sam2Config.large()           # sam2-hiera-large dims
         img_cfg = ImageProcessorConfig(defer_patchify=True)
         tile_px, prompt_len = 768, 4096
-        buckets, max_len = (1024, 2048, 4096), 4096
+        # shape discipline for the streaming (overlapped-restage) engine:
+        # few prompt buckets + one image bucket + a pinned admission batch
+        # keep the prefill compile-combo space tiny, so the nondeterministic
+        # arrival order of stage-2 requests can never hit a fresh compile in
+        # the timed run (each remote prefill compile costs minutes)
+        buckets, max_len = (2048, 4096), 4096
     params = qmodel.init_params(model_config, jax.random.key(0),
                                 dtype=jnp.bfloat16, with_vision=True)
     sam_params = smodel.init_params(sam_config, jax.random.key(1),
@@ -147,6 +152,9 @@ def bench_socioseg(n_tiles: int = None, max_new: int = 256, tiny: bool = False,
         engine_kwargs={"max_slots": n_tiles, "max_len": max_len,
                        "decode_chunk": 64,
                        "prefill_buckets": buckets,
+                       **({} if tiny else
+                          {"image_buckets": (0, 4096),
+                           "prefill_batch_sizes": (2,)}),
                        # long-prompt prefill activations scale with the
                        # admission batch; cap it so many resident slots fit HBM
                        "max_prefill_batch": 8 if n_tiles > 8 else None,

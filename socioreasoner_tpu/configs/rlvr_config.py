@@ -155,3 +155,7 @@ class RLVRConfig(BaseConfig):
 class SocioSegConfig(RLVRConfig):
     """Adds the SAM2 seg-infer role (ref rlvr_config.py:315-326)."""
     seg_infer: WorkerConfig = field(default_factory=WorkerConfig)
+    # Overlap the host restage (SAM → render → re-tokenize → ViT) with device
+    # decode by streaming requests through the engine's waiting queue (SURVEY
+    # §7 hard part (e)). False = strictly sequential stages (parity/debug).
+    overlap_restage: bool = True

@@ -33,9 +33,9 @@ _KNOWN: Dict[str, Set[str]] = {
     "jax_decode": {
         "kv_quant", "weight_quant", "dp_size", "max_slots", "max_len",
         "decode_chunk", "prefill_buckets", "image_buckets",
-        "max_prefill_batch", "sampler_exact",
+        "max_prefill_batch", "sampler_exact", "prefill_batch_sizes",
     },
-    "seg_infer": {"seg_encode_batch"},
+    "seg_infer": {"seg_encode_batch", "seg_embed_cache"},
 }
 
 _QUANT_VALUES = (None, "int8")

@@ -175,9 +175,14 @@ class Sam2Predictor:
 
     def predict_objects_mask_batch(self, prompts_list: List[List[Dict]],
                                    out_size: Tuple[int, int],
-                                   max_objects: int = 16) -> List[np.ndarray]:
+                                   max_objects: int = 16,
+                                   embeddings=None) -> List[np.ndarray]:
         """All tiles × all objects in one decoder call. prompts_list[b] holds
-        tile b's object prompts (box and/or points); empty lists allowed."""
+        tile b's object prompts (box and/or points); empty lists allowed.
+        embeddings: optional (s0, s1, low) batch to decode from (a cached
+        encode) instead of the last set_images state."""
+        if embeddings is None:
+            embeddings = self._embeddings
         B = len(prompts_list)
         K = self._bucket(max([min(len(p), max_objects) for p in prompts_list] + [1]))
         S = self.config.image_size

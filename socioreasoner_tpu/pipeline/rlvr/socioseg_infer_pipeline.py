@@ -84,6 +84,16 @@ class SocioSegInferPipeline(BasePipeline):
         return gious
 
     def _two_stage(self, rows):
+        """Two-stage decode+segment. Default path OVERLAPS the host restage
+        (SAM → render → re-tokenize → ViT) with device decode by streaming
+        requests through the engine's waiting queue (SURVEY §7 hard part (e),
+        ref rlvr_socioseg_vlm_pipeline_infer.py:714-825); the sequential path
+        remains for parity tests (overlap_restage: false)."""
+        if getattr(self.pipeline_config, "overlap_restage", True) and len(rows) > 1:
+            return self._two_stage_overlapped(rows)
+        return self._two_stage_sequential(rows)
+
+    def _two_stage_sequential(self, rows):
         """Stage-1 generate → SAM → render restage → stage-2 generate → SAM."""
         cfg = self.pipeline_config
         batch = self.collator(rows)
@@ -121,6 +131,174 @@ class SocioSegInferPipeline(BasePipeline):
                 "s1_masks": s1_masks, "s2_masks": s2_masks,
                 "s2_images": s2_images, "bbox_texts": bbox_texts}
 
+    # ------------------------------------------- overlapped two-stage pipeline
+    def _two_stage_overlapped(self, rows, group_size: int = None):
+        """Request-streaming two-stage loop.
+
+        All stage-1 requests enter the decode servers up front; as each
+        finishes, its host restage (parse → SAM s1 → render → re-tokenize →
+        ViT embeds) runs in GROUPS on the main thread while the engine keeps
+        decoding the remaining stage-1 slots, and the group's stage-2 requests
+        go straight into the waiting queue — freed slots refill immediately.
+        Stage-2 SAM likewise consumes completions in groups while later tiles
+        still decode. Device decode therefore never waits on the host between
+        stages (the reference's serial restage throttles its GPUs exactly
+        here, ref :714-825)."""
+        import queue as _q
+
+        cfg = self.pipeline_config
+        n = len(rows)
+        if group_size is None:
+            group_size = max(2, min(8, n // 2))
+        batch = self.collator(rows)
+        rollout = self.param_store.get("rollout")
+        ga = cfg.actor_infer.generating_args
+        from ...generation.sampling import SamplingParams
+        sp = SamplingParams.from_generating_args(ga)
+        pad = self.model_config.pad_token_id
+
+        map_texts: List = [None] * n
+        sat_texts: List = [None] * n
+        s1_masks: List = [None] * n
+        s2_masks: List = [None] * n
+        s2_images: List = [None] * n
+        bbox_texts: List = [None] * n
+
+        workers = self.decode_replicas
+        loads = [0] * len(workers)
+        s1_q: "_q.Queue" = _q.Queue()
+        s2_q: "_q.Queue" = _q.Queue()
+
+        for w in workers:
+            w.start_server()
+        try:
+            from ...utils.functionals import GenerateRequestType as GRT
+
+            # ---- submit every stage-1 request (ViT embeds computed per
+            # sample just-in-time; the engine starts prefilling immediately)
+            ids_all = np.asarray(batch.batch["map_input_ids"])
+            attn_all = np.asarray(batch.batch["map_attention_mask"])
+            pos_all = np.asarray(batch.batch["map_position_ids"])
+            embeds = batch_image_embeds(
+                self.model_config, rollout, batch, prefix="map_",
+                image_config=self.processor.image_config)
+            for i in range(n):
+                valid = attn_all[i] == 1
+                w = int(np.argmin(loads))
+                loads[w] += 1
+                workers[w].add_request(GRT.ADD, {
+                    "request_id": ("s1", i, w),
+                    "prompt_ids": ids_all[i][valid].tolist(),
+                    "sampling": sp,
+                    "position_ids": pos_all[i][:, valid],
+                    "image_embeds": embeds[i],
+                    "callback": s1_q.put})
+
+            # ---- phase A: restage stage-1 completions in groups while the
+            # engine decodes the rest
+            done = 0
+            buf = []
+            while done < n:
+                out = s1_q.get()
+                done += 1
+                loads[out.request_id[2]] -= 1
+                buf.append(out)
+                if len(buf) >= group_size or done == n:
+                    group, buf = buf, []
+                    self._restage_group(group, rows, batch, rollout, sp,
+                                        workers, loads, s2_q,
+                                        map_texts, s1_masks, s2_images,
+                                        bbox_texts)
+
+            # ---- phase B: stage-2 SAM in groups while later tiles decode
+            done = 0
+            buf = []
+            while done < n:
+                out = s2_q.get()
+                done += 1
+                loads[out.request_id[2]] -= 1
+                buf.append(out)
+                if len(buf) >= group_size or done == n:
+                    group, buf = buf, []
+                    idxs = [o.request_id[1] for o in group]
+                    for o in group:
+                        i = o.request_id[1]
+                        resp = np.asarray(o.output_ids, np.int64)
+                        sat_texts[i] = strip_special_tokens(
+                            self.processor.decode(resp[resp != pad]))
+                    masks = self._segment_idxs(batch, idxs,
+                                               [sat_texts[i] for i in idxs],
+                                               stage=2)
+                    for i, m in zip(idxs, masks):
+                        s2_masks[i] = m
+        finally:
+            for w in workers:
+                w.stop_server()
+
+        return {"map_texts": map_texts, "sat_texts": sat_texts,
+                "s1_masks": s1_masks, "s2_masks": s2_masks,
+                "s2_images": s2_images, "bbox_texts": bbox_texts}
+
+    def _restage_group(self, group, rows, batch, rollout, sp, workers, loads,
+                       s2_q, map_texts, s1_masks, s2_images, bbox_texts):
+        """One group's host restage: decode text → SAM s1 → render → stage-2
+        prompts → re-tokenize → ViT embeds → submit stage-2 requests."""
+        from ...utils.functionals import GenerateRequestType as GRT
+        cfg = self.pipeline_config
+        pad = self.model_config.pad_token_id
+        idxs = [o.request_id[1] for o in group]
+        for o in group:
+            i = o.request_id[1]
+            resp = np.asarray(o.output_ids, np.int64)
+            map_texts[i] = strip_special_tokens(
+                self.processor.decode(resp[resp != pad]))
+        masks = self._segment_idxs(batch, idxs, [map_texts[i] for i in idxs],
+                                   stage=1)
+        s2_prompts, imgs = [], []
+        for i, m in zip(idxs, masks):
+            s1_masks[i] = m
+            bboxes = parse_bboxes(map_texts[i])
+            btxt = json.dumps([{"bbox_2d": b} for b in bboxes])
+            bbox_texts[i] = btxt
+            rendered = render_visual_prompt(
+                btxt, [rows[i]["image_map"], rows[i]["image_sat"]], m)
+            s2_images[i] = rendered
+            s2_prompts.append(format_stage2_prompt(rows[i]["question"], btxt))
+            imgs.append(rendered)
+        s2_batch = collate_restage(self.processor, self.model_config,
+                                   s2_prompts, imgs, cfg.prompt_length)
+        embeds2 = batch_image_embeds(self.model_config, rollout, s2_batch,
+                                     prefix="",
+                                     image_config=self.processor.image_config)
+        ids2 = np.asarray(s2_batch.batch["input_ids"])
+        attn2 = np.asarray(s2_batch.batch["attention_mask"])
+        pos2 = np.asarray(s2_batch.batch["position_ids"])
+        for j, i in enumerate(idxs):
+            valid = attn2[j] == 1
+            w = int(np.argmin(loads))
+            loads[w] += 1
+            workers[w].add_request(GRT.ADD, {
+                "request_id": ("s2", i, w),
+                "prompt_ids": ids2[j][valid].tolist(),
+                "sampling": sp,
+                "position_ids": pos2[j][:, valid],
+                "image_embeds": embeds2[j],
+                "callback": s2_q.put})
+
+    def _segment_idxs(self, batch: BatchProto, idxs: List[int],
+                      texts: List[str], stage: int) -> List[np.ndarray]:
+        """_segment over a subset of tiles (the overlapped path's group)."""
+        from .parsing import parse_visual_prompts_s1, parse_visual_prompts_s2
+        parser = parse_visual_prompts_s1 if stage == 1 else parse_visual_prompts_s2
+        prompts = np.empty(len(idxs), object)
+        prompts[:] = [parser(t) for t in texts]
+        images = np.empty(len(idxs), object)
+        for j, i in enumerate(idxs):
+            images[j] = batch.non_tensor["seg_image"][i]
+        seg_batch = BatchProto.from_dict(non_tensors={
+            "seg_image": images, "visual_prompt": prompts})
+        return [r["mask"] for r in self.seg_infer.segment(seg_batch)]
+
     # ------------------------------------------------------------------- run
     def run(self) -> float:
         cfg = self.pipeline_config
@@ -132,61 +310,11 @@ class SocioSegInferPipeline(BasePipeline):
         bs = cfg.rollout_batch_size
         for start in range(0, len(self.dataset), bs):
             rows = self.dataset[start:start + bs]
-            with mm.timer("collate"):
-                batch = self.collator(rows)
-
-            # ---------------- stage 1: generate bboxes from map+sat
-            with mm.timer("vision_embeds_s1"):
-                embeds = batch_image_embeds(self.model_config,
-                                            self.param_store.get("rollout"),
-                                            batch, prefix="map_", image_config=self.processor.image_config)
-            gen_batch = BatchProto.from_dict(tensors={
-                "input_ids": batch.batch["map_input_ids"],
-                "attention_mask": batch.batch["map_attention_mask"],
-                "position_ids": batch.batch["map_position_ids"],
-            }, meta={"image_embeds_list": embeds})
-            with mm.timer("generate_s1"):
-                seqs = self.decode_group.generate(
-                    gen_batch, cfg.actor_infer.generating_args)
-            prompt_lens = np.asarray(batch.batch["map_attention_mask"]).sum(-1)
-            map_texts = self._decode_responses(seqs, batch.batch["map_input_ids"])
-
-            # ---------------- SAM stage 1 (bbox prompts from map responses)
-            with mm.timer("segment_s1"):
-                s1_masks = self._segment(batch, map_texts, stage=1)
-
-            # ---------------- restage: render + stage-2 prompts
-            with mm.timer("restage"):
-                s2_prompts, s2_images, bbox_texts = [], [], []
-                for i, row in enumerate(rows):
-                    bboxes = parse_bboxes(map_texts[i])
-                    bboxs_text = json.dumps([{"bbox_2d": b} for b in bboxes])
-                    bbox_texts.append(bboxs_text)
-                    rendered = render_visual_prompt(
-                        bboxs_text, [row["image_map"], row["image_sat"]], s1_masks[i])
-                    s2_prompts.append(format_stage2_prompt(row["question"], bboxs_text))
-                    s2_images.append(rendered)
-                s2_batch = collate_restage(self.processor, self.model_config,
-                                           s2_prompts, s2_images, cfg.prompt_length)
-
-            # ---------------- stage 2: generate point prompts
-            with mm.timer("vision_embeds_s2"):
-                embeds2 = batch_image_embeds(self.model_config,
-                                             self.param_store.get("rollout"),
-                                             s2_batch, prefix="", image_config=self.processor.image_config)
-            gen2 = BatchProto.from_dict(tensors={
-                "input_ids": s2_batch.batch["input_ids"],
-                "attention_mask": s2_batch.batch["attention_mask"],
-                "position_ids": s2_batch.batch["position_ids"],
-            }, meta={"image_embeds_list": embeds2})
-            with mm.timer("generate_s2"):
-                seqs2 = self.decode_group.generate(
-                    gen2, cfg.actor_infer.generating_args)
-            sat_texts = self._decode_responses(seqs2, s2_batch.batch["input_ids"])
-
-            # ---------------- SAM stage 2 (bbox+points)
-            with mm.timer("segment_s2"):
-                s2_masks = self._segment(batch, sat_texts, stage=2)
+            with mm.timer("two_stage"):
+                out = self._two_stage(rows)
+            map_texts, sat_texts = out["map_texts"], out["sat_texts"]
+            s1_masks, s2_masks = out["s1_masks"], out["s2_masks"]
+            s2_images = out["s2_images"]
 
             # ---------------- metrics + dumps (ref :870-913)
             for i, row in enumerate(rows):

@@ -118,6 +118,30 @@ def test_segment_with_crafted_response(pipeline):
     assert masks2[0].sum() == 0
 
 
+def test_overlapped_matches_sequential(pipeline):
+    """The request-streaming overlapped restage must produce the same texts
+    and masks as the strictly sequential path (greedy decode)."""
+    ga = pipeline.pipeline_config.actor_infer.generating_args
+    old_temp = ga.temperature
+    ga.temperature = 0.0         # greedy → deterministic
+    try:
+        rows = pipeline.dataset
+        pipeline.pipeline_config.overlap_restage = False
+        seq = pipeline._two_stage(rows)
+        pipeline.pipeline_config.overlap_restage = True
+        ovl = pipeline._two_stage(rows)
+    finally:
+        ga.temperature = old_temp
+        pipeline.pipeline_config.overlap_restage = True
+    assert ovl["map_texts"] == seq["map_texts"]
+    assert ovl["sat_texts"] == seq["sat_texts"]
+    for a, b in zip(ovl["s1_masks"], seq["s1_masks"]):
+        np.testing.assert_array_equal(a, b)
+    for a, b in zip(ovl["s2_masks"], seq["s2_masks"]):
+        np.testing.assert_array_equal(a, b)
+    assert ovl["bbox_texts"] == seq["bbox_texts"]
+
+
 def test_evaluate_batch_and_grouping(pipeline):
     from socioreasoner_tpu.pipeline.rlvr.evaluation import grouped_giou
     rows = pipeline.dataset

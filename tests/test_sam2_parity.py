@@ -214,3 +214,64 @@ def test_seg_strategy_batched(jax_sam2):
     assert len(out) == 3
     assert out[1]["mask"].sum() == 0           # empty prompts → empty mask
     assert all(o["mask"].shape == (768, 768) for o in out)
+
+
+def test_seg_strategy_embed_cache(jax_sam2):
+    """Second segment() of the SAME source images (the two-stage pipeline's
+    stage-2 pass) must skip the encoder and produce identical masks."""
+    from socioreasoner_tpu.distributed.seg_strategy import SegStrategy
+    from socioreasoner_tpu.protocol import BatchProto
+    from PIL import Image as PILImage
+    config, params = jax_sam2
+    strat = SegStrategy()
+    strat.initialize(config, params)
+    rng = np.random.default_rng(7)
+    imgs = [PILImage.fromarray(rng.integers(0, 255, (96, 96, 3), dtype=np.uint8))
+            for _ in range(2)]
+
+    calls = []
+    orig = strat.predictor.set_images
+
+    def counting(images):
+        calls.append(len(images))
+        return orig(images)
+    strat.predictor.set_images = counting
+
+    batch = BatchProto.from_dict(non_tensors={
+        "seg_image": imgs,
+        "visual_prompt": [[{"box": [10, 10, 40, 40]}],
+                          [{"box": [20, 20, 60, 60]}]],
+    })
+    out1 = strat.segment(batch)
+    assert calls == [2]
+    # stage-2 style pass: same sources, different prompts → no encode
+    batch2 = BatchProto.from_dict(non_tensors={
+        "seg_image": imgs,
+        "visual_prompt": [[{"box": [10, 10, 40, 40],
+                            "points": [[20, 20]], "labels": [1]}],
+                          [{"box": [20, 20, 60, 60]}]],
+    })
+    strat.segment(batch2)
+    assert calls == [2]
+    # identical prompts → identical masks from the cached embeddings
+    out1b = strat.segment(batch)
+    assert calls == [2]
+    for a, b in zip(out1, out1b):
+        np.testing.assert_array_equal(a["mask"], b["mask"])
+    # a NEW image object with the same pixels is a miss (keyed on identity)
+    imgs2 = [im.copy() for im in imgs]
+    batch3 = BatchProto.from_dict(non_tensors={
+        "seg_image": imgs2,
+        "visual_prompt": [[{"box": [10, 10, 40, 40]}],
+                          [{"box": [20, 20, 60, 60]}]],
+    })
+    strat.segment(batch3)
+    assert calls == [2, 2]
+    # seg_embed_cache: 0 disables caching → every call re-encodes
+    from socioreasoner_tpu.configs.worker_config import WorkerConfig
+    wc = WorkerConfig()
+    wc.strategy_args.strategy_config = {"seg_embed_cache": 0}
+    strat.worker_config = wc
+    strat.segment(batch)
+    strat.segment(batch)
+    assert calls == [2, 2, 2, 2]
