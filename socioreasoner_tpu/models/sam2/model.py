@@ -210,7 +210,7 @@ class Sam2Predictor:
                     pts[b, i, :n, 1] = arr[:, 1] * sy
                     lbl[b, i, :n] = p.get("labels", [1] * n)
         masks, iou = self._predict(
-            self.params, self._embeddings, self.image_pe,
+            self.params, embeddings, self.image_pe,
             jnp.asarray(pts) if has_points else None,
             jnp.asarray(lbl) if has_points else None,
             jnp.asarray(boxes) if has_boxes else None,

@@ -275,3 +275,36 @@ def test_seg_strategy_embed_cache(jax_sam2):
     strat.segment(batch)
     strat.segment(batch)
     assert calls == [2, 2, 2, 2]
+
+
+def test_seg_strategy_cache_hit_subset_order(jax_sam2):
+    """A cache-hit group that differs from the last encoded batch (subset, in
+    reversed order) must decode from the CACHED per-image embeddings, not from
+    the predictor's last set_images state (regression: predict_objects_mask_batch
+    ignored its embeddings argument)."""
+    from socioreasoner_tpu.distributed.seg_strategy import SegStrategy
+    from socioreasoner_tpu.protocol import BatchProto
+    from PIL import Image as PILImage
+    config, params = jax_sam2
+    rng = np.random.default_rng(11)
+    imgs = [PILImage.fromarray(rng.integers(0, 255, (96, 96, 3), dtype=np.uint8))
+            for _ in range(3)]
+    prompts = [[{"box": [8 + 10 * i, 8, 48 + 10 * i, 48]}] for i in range(3)]
+
+    strat = SegStrategy()
+    strat.initialize(config, params)
+    strat.segment(BatchProto.from_dict(non_tensors={
+        "seg_image": imgs, "visual_prompt": prompts}))
+    # hit the cache with a reversed 2-image subset; predictor._embeddings still
+    # holds the batch-3 encode, so any leak of that state changes the masks
+    out = strat.segment(BatchProto.from_dict(non_tensors={
+        "seg_image": [imgs[2], imgs[0]],
+        "visual_prompt": [prompts[2], prompts[0]]}))
+
+    fresh = SegStrategy()
+    fresh.initialize(config, params)
+    ref = fresh.segment(BatchProto.from_dict(non_tensors={
+        "seg_image": [imgs[2], imgs[0]],
+        "visual_prompt": [prompts[2], prompts[0]]}))
+    for a, b in zip(out, ref):
+        np.testing.assert_array_equal(a["mask"], b["mask"])
