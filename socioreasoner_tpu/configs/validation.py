@@ -34,6 +34,7 @@ _KNOWN: Dict[str, Set[str]] = {
         "kv_quant", "weight_quant", "dp_size", "max_slots", "max_len",
         "decode_chunk", "prefill_buckets", "image_buckets",
         "max_prefill_batch", "sampler_exact", "prefill_batch_sizes",
+        "tensor_model_parallel_size",
     },
     "seg_infer": {"seg_encode_batch", "seg_embed_cache"},
 }
@@ -77,6 +78,15 @@ def validate_worker(role: str, wc: Optional[WorkerConfig],
         raise ValueError(
             f"role {role}: dp_size={dp} decode replicas exceed the {n} "
             "available devices")
+    if name == "jax_decode" and tp > 1:
+        if dp > 1:
+            raise ValueError(
+                f"role {role}: dp_size={dp} with tensor_model_parallel_size="
+                f"{tp} is not supported — pick DP replicas or one TP engine")
+        if n % tp:
+            raise ValueError(
+                f"role {role}: tensor_model_parallel_size={tp} does not "
+                f"divide the {n} available devices")
     vpp = int(sc.get("virtual_pipeline_model_parallel_size", 1) or 1)
     if vpp > 1 and pp <= 1:
         raise ValueError(

@@ -348,13 +348,17 @@ class JaxDecodeStrategy(InferenceStrategy):
 
     def initialize(self, model_config: Qwen25VLConfig, params=None,
                    param_store: Optional[ParamStore] = None,
-                   engine_kwargs: Optional[Dict] = None):
+                   engine_kwargs: Optional[Dict] = None, mesh=None):
         self.model_config = model_config
         if param_store is not None:
             self.param_store = param_store
         if params is not None:
             self.param_store.put("rollout", params)
         self.engine_kwargs = dict(engine_kwargs or {})
+        if mesh is not None:
+            # TP decode engine (ICI-sharded weights + paged KV cache) — the
+            # tp counterpart of the reference's vLLM tensor_parallel_size
+            self.engine_kwargs.setdefault("mesh", mesh)
         self._build_engine()
         self.server: Optional[GenerateServer] = None
 

@@ -82,7 +82,8 @@ class DecodeEngine:
                  weight_quant: Optional[str] = None,
                  max_prefill_batch: Optional[int] = None, seed: int = 0,
                  device=None, sampler_exact: bool = False,
-                 prefill_batch_sizes: Optional[Tuple[int, ...]] = None):
+                 prefill_batch_sizes: Optional[Tuple[int, ...]] = None,
+                 mesh=None, tp_axis: str = "tp"):
         self.config = config
         if weight_quant not in (None, "int8"):
             raise ValueError(f"weight_quant must be None or 'int8', got "
@@ -98,7 +99,31 @@ class DecodeEngine:
         # r2: approx_max_k can drop a high-probability rank-2 candidate that
         # shares the max's reduction bin; greedy is exact either way)
         self.sampler_exact = sampler_exact
-        if device is not None:
+        # TENSOR-PARALLEL engine (SURVEY §2.10 item 3, "ICI-sharded paged KV
+        # cache"): weights get the Megatron column/row layout over the mesh's
+        # tp axis (parallel/sharding.py), the KV caches shard their Hkv dim,
+        # and the pallas attention kernels run per-shard on local heads via
+        # shard_map (ops/*_tp wrappers) — the per-layer o_proj psum is the
+        # only cross-chip collective. Mutually exclusive with `device`
+        # (single-chip DP replica pinning).
+        if mesh is not None and device is not None:
+            raise ValueError("pass either mesh (TP engine) or device "
+                             "(DP replica pin), not both")
+        if mesh is not None and mesh.shape.get(tp_axis, 1) > 1:
+            t = config.text
+            T = mesh.shape[tp_axis]
+            if t.num_attention_heads % T or t.num_key_value_heads % T:
+                raise ValueError(
+                    f"tp={T} must divide heads ({t.num_attention_heads}) and "
+                    f"kv heads ({t.num_key_value_heads})")
+            self.tp = (mesh, tp_axis)
+        else:
+            self.tp = None
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel.sharding import shard_params
+            params = shard_params(params, mesh)
+        elif device is not None:
             params = jax.device_put(params, device)
         self.params = params
         # HYBRID quantization: decode runs weight-only per-channel int8
@@ -157,7 +182,9 @@ class DecodeEngine:
                 "k": jnp.zeros((L, self.S, self.Lalloc, Hkv, D), cache_dtype),
                 "v": jnp.zeros((L, self.S, self.Lalloc, Hkv, D), cache_dtype),
             }
-        if device is not None:
+        if mesh is not None:
+            self.caches = jax.device_put(self.caches, self._cache_shardings())
+        elif device is not None:
             self.caches = jax.device_put(self.caches, device)
         self.lengths = np.zeros(self.S, np.int32)         # host copy
         self.next_pos = np.zeros(self.S, np.int32)        # next M-RoPE position value
@@ -179,12 +206,30 @@ class DecodeEngine:
         self._dev_state = None
         self._dev_dirty = True
 
+    def _cache_shardings(self):
+        """KV caches shard their Hkv dim over the tp axis (matching the
+        contiguous-GQA-block head split the kernels and the column-parallel
+        k_w/v_w produce); everything else about the cache is replicated."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        ax = self.tp[1] if self.tp is not None else None
+        out = {}
+        for name, arr in self.caches.items():
+            if name in ("k", "v"):        # (L, S, Lalloc, Hkv, D)
+                spec = P(None, None, None, ax, None)
+            else:                         # scales (L, S, Hkv, Lalloc)
+                spec = P(None, None, ax, None)
+            out[name] = NamedSharding(self.mesh, spec)
+        return out
+
     # ------------------------------------------------------------------ public
     def set_params(self, params):
         """Swap in new weights (train→infer sync); re-derives the int8 decode
         copy when weight_quant is enabled. Caller must drain the engine first
         (see JaxDecodeStrategy.model_update)."""
-        if self.device is not None:
+        if self.mesh is not None:
+            from ..parallel.sharding import shard_params
+            params = shard_params(params, self.mesh)
+        elif self.device is not None:
             params = jax.device_put(params, self.device)
         self.params = params
         if self.weight_quant == "int8":
@@ -461,6 +506,11 @@ class DecodeEngine:
             "stops": jnp.asarray(stops),
             "key": key,
         }
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            rep = NamedSharding(self.mesh, P())
+            self._dev_state = {k: jax.device_put(v, rep)
+                               for k, v in self._dev_state.items()}
         self._dev_dirty = False
 
     def _decode_chunk(self) -> List[EngineOutput]:
@@ -524,7 +574,7 @@ class DecodeEngine:
         hidden, new_cache = qmodel.forward(
             cfg, params, ids, pos, None, image_embeds=image_embeds,
             cache=local, cache_positions=cache_positions,
-            use_flash=use_flash_attention(), logits=False)
+            use_flash=use_flash_attention(), logits=False, tp=self.tp)
         last_hidden = jnp.take_along_axis(
             hidden, (Ps - 1)[:, None, None].astype(jnp.int32), axis=1)[:, 0]
         tok = sample_tokens(head_logits(params, last_hidden), key,
@@ -576,7 +626,7 @@ class DecodeEngine:
             logits, new_cache = qmodel.forward(
                 cfg, params, last_token[:, None], pos, None,
                 cache=cache, cache_positions=lengths[:, None],
-                use_flash=use_flash_attention())
+                use_flash=use_flash_attention(), tp=self.tp)
             key, sub = jax.random.split(key)
             tok = sample_tokens(logits[:, 0], sub, temps, top_ps, top_ks,
                                 exact=self.sampler_exact)

@@ -159,7 +159,8 @@ def decoder_layer(cfg: TextConfig, p: Dict, x, cos, sin, attention_mask, q_posit
 
 
 def _decoder_cached_unrolled(cfg: TextConfig, params: Dict, x, cos, sin,
-                             cache: Dict, cache_positions, use_flash: bool):
+                             cache: Dict, cache_positions, use_flash: bool,
+                             tp=None):
     """Cache-mode decoder WITHOUT lax.scan over layers.
 
     scan xs→ys buffers cannot alias, so scanning the stacked KV cache copies
@@ -182,9 +183,21 @@ def _decoder_cached_unrolled(cfg: TextConfig, params: Dict, x, cos, sin,
     if quant:
         from ...ops.decode_attention import dequantize_kv, quantize_kv
     if use_flash and L > 1:
-        from ...ops.flash_attention import flash_attention
+        if tp is not None:
+            import functools as _ft
+            from ...ops.flash_attention import flash_attention_tp
+            flash_attention = _ft.partial(flash_attention_tp, mesh=tp[0],
+                                          axis=tp[1])
+        else:
+            from ...ops.flash_attention import flash_attention
     if use_flash and L == 1 and cfg.head_dim % 128 == 0:
-        from ...ops.decode_attention import paged_decode_attention
+        if tp is not None:
+            import functools as _ft
+            from ...ops.decode_attention import paged_decode_attention_tp
+            paged_decode_attention = _ft.partial(
+                paged_decode_attention_tp, mesh=tp[0], axis=tp[1])
+        else:
+            from ...ops.decode_attention import paged_decode_attention
 
     from ...ops.quant import matmul_q
 
@@ -272,6 +285,7 @@ def text_decoder(
     use_flash: bool = False,
     cp=None,
     pp=None,
+    tp=None,    # (mesh, axis): head-shard the cache-path pallas kernels
 ) -> Tuple[jnp.ndarray, Optional[Dict]]:
     """Returns (B, L, hidden) final hidden states (post final norm) + updated cache."""
     B, L, _ = inputs_embeds.shape
@@ -306,6 +320,6 @@ def text_decoder(
         # see _decoder_cached_unrolled
         x, new_cache = _decoder_cached_unrolled(
             cfg, params, inputs_embeds, cos, sin, cache, cache_positions,
-            use_flash)
+            use_flash, tp=tp)
 
     return rms_norm(x, params["final_ln"], cfg.rms_norm_eps), new_cache

@@ -283,3 +283,45 @@ def dequantize_kv(vals: jnp.ndarray, scales_t: jnp.ndarray,
     transposed so the pallas kernel's DMA blocks are lane-aligned."""
     scales = jnp.swapaxes(scales_t, -1, -2)                      # (B, L, Hkv)
     return (vals.astype(jnp.float32) * scales[..., None]).astype(dtype)
+
+
+def paged_decode_attention_tp(q, k_cache, v_cache, lengths,
+                              k_scale=None, v_scale=None, *, mesh,
+                              axis: str = "tp", layer=None, **kw):
+    """Tensor-parallel paged decode attention over the mesh's `axis`.
+
+    SURVEY §2.10 item 3's "ICI-sharded paged KV cache": q heads and KV heads
+    split over the tp axis in matching contiguous GQA blocks (q-head group g
+    attends kv head g — Megatron column-parallel ordering), so every shard
+    runs the unmodified kernel on its LOCAL head slice of the cache and no
+    attention collective is needed; o_proj's row-parallel psum is the only
+    cross-chip sum per layer. A bare pallas_call under GSPMD would instead be
+    replicated (all-gathered caches), defeating the sharding.
+    """
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    T = mesh.shape[axis]
+    H, Hkv = q.shape[1], k_cache.shape[-2]
+    if H % T or Hkv % T:
+        raise ValueError(f"tp={T} must divide heads ({H}) and kv heads ({Hkv})")
+    qspec = P(None, axis, None)
+    cspec = P(*([None] * (k_cache.ndim - 2)), axis, None)
+    in_specs = [qspec, cspec, cspec, P()]
+    args = [q, k_cache, v_cache, lengths]
+    if k_scale is not None:
+        sspec = P(*([None] * (k_scale.ndim - 2)), axis, None)
+        in_specs += [sspec, sspec]
+        args += [k_scale, v_scale]
+    if layer is not None:
+        in_specs.append(P())
+        args.append(jnp.asarray(layer, jnp.int32))
+
+    def local(q, k, v, lens, *rest):
+        rest = list(rest)
+        lyr = rest.pop() if layer is not None else None
+        ks, vs = (rest[0], rest[1]) if rest else (None, None)
+        return paged_decode_attention(q, k, v, lens, ks, vs, layer=lyr, **kw)
+
+    return shard_map(local, mesh=mesh, in_specs=tuple(in_specs),
+                     out_specs=qspec, check_rep=False)(*args)

@@ -227,3 +227,29 @@ def flash_attention_segmented(
         interpret=interpret,
     )(qh, kh, vh, seg_q, seg_k)
     return out[:, :S0].transpose(1, 0, 2)
+
+
+def flash_attention_tp(q, k, v, attention_mask=None, *, mesh,
+                       axis: str = "tp", **kw):
+    """Head-sharded flash attention over the mesh's `axis` (decode-engine
+    prefill under tensor parallelism). Heads are embarrassingly parallel:
+    each shard runs the unmodified kernel on its contiguous GQA block of
+    q/kv heads — the same grouping paged_decode_attention_tp uses, so the
+    prefill-written cache shards line up with the decode reads."""
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    T = mesh.shape[axis]
+    H, Hkv = q.shape[2], k.shape[2]
+    if H % T or Hkv % T:
+        raise ValueError(f"tp={T} must divide heads ({H}) and kv heads ({Hkv})")
+    hspec = P(None, None, axis, None)
+    mask_in = attention_mask is not None
+    in_specs = [hspec, hspec, hspec] + ([P()] if mask_in else [])
+
+    def local(q, k, v, *rest):
+        return flash_attention(q, k, v, rest[0] if rest else None, **kw)
+
+    args = (q, k, v) + ((attention_mask,) if mask_in else ())
+    return shard_map(local, mesh=mesh, in_specs=tuple(in_specs),
+                     out_specs=hspec, check_rep=False)(*args)

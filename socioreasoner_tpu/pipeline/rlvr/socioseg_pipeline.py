@@ -53,9 +53,29 @@ def _build_decode_replicas(cfg, model_config, param_store,
     import jax
     sc = cfg.actor_infer.strategy_args.config
     dp = int(sc.get("dp_size", 1) or 1)
+    tp = int(sc.get("tensor_model_parallel_size", 1) or 1)
     mapping = cfg.actor_infer.resolved_device_mapping()
     devices = ([jax.devices()[i] for i in mapping] if mapping
                else jax.devices())
+    if tp > 1:
+        # TP-sharded engine over the role's mesh (ref vllm tensor_parallel).
+        if dp > 1:
+            raise ValueError("actor_infer: dp_size>1 with "
+                             "tensor_model_parallel_size>1 is not supported — "
+                             "pick DP replicas or one TP engine")
+        if len(devices) % tp:
+            raise ValueError(f"actor_infer: tensor_model_parallel_size={tp} "
+                             f"does not divide the {len(devices)} devices")
+        from ...parallel.mesh import make_mesh
+        # pure-TP mesh on the first tp devices: decode weights/caches shard
+        # only over the tp axis (no fsdp fill — the shard_map kernels reshard
+        # anything else away, wasting ICI)
+        mesh = make_mesh(dp=1, fsdp=1, tp=tp, devices=devices[:tp])
+        s = JaxDecodeStrategy(worker_config=cfg.actor_infer,
+                              param_store=param_store)
+        s.initialize(model_config, engine_kwargs=dict(engine_kwargs or {}),
+                     mesh=mesh)
+        return [s]
     replicas = []
     for r in range(dp):
         ek = dict(engine_kwargs or {})
