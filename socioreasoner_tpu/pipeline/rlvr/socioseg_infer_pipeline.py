@@ -146,6 +146,19 @@ class SocioSegInferPipeline(BasePipeline):
         here, ref :714-825)."""
         import queue as _q
 
+        import os as _os
+        import sys as _sys
+        import time as _time
+        _t0 = _time.perf_counter()
+        if _os.environ.get("SOCIO_TRACE") == "1":
+            def _ev(tag):   # timestamped phase events for host-gap hunting
+                print(f"    [trace +{_time.perf_counter() - _t0:6.2f}s] {tag}",
+                      file=_sys.stderr, flush=True)
+        else:
+            def _ev(tag):
+                pass
+        self._trace_ev = _ev
+
         cfg = self.pipeline_config
         n = len(rows)
         if group_size is None:
@@ -179,9 +192,11 @@ class SocioSegInferPipeline(BasePipeline):
             ids_all = np.asarray(batch.batch["map_input_ids"])
             attn_all = np.asarray(batch.batch["map_attention_mask"])
             pos_all = np.asarray(batch.batch["map_position_ids"])
+            _ev("s1 embeds start")
             embeds = batch_image_embeds(
                 self.model_config, rollout, batch, prefix="map_",
                 image_config=self.processor.image_config)
+            _ev("s1 embeds done; submitting s1 requests")
             for i in range(n):
                 valid = attn_all[i] == 1
                 w = int(np.argmin(loads))
@@ -205,10 +220,12 @@ class SocioSegInferPipeline(BasePipeline):
                 buf.append(out)
                 if len(buf) >= group_size or done == n:
                     group, buf = buf, []
+                    _ev(f"restage group ({len(group)} tiles, {done}/{n} s1 done)")
                     self._restage_group(group, rows, batch, rollout, sp,
                                         workers, loads, s2_q,
                                         map_texts, s1_masks, s2_images,
                                         bbox_texts)
+                    _ev("restage group done (s2 submitted)")
 
             # ---- phase B: stage-2 SAM in groups while later tiles decode
             done = 0
@@ -221,6 +238,7 @@ class SocioSegInferPipeline(BasePipeline):
                 if len(buf) >= group_size or done == n:
                     group, buf = buf, []
                     idxs = [o.request_id[1] for o in group]
+                    _ev(f"s2 SAM group ({len(group)} tiles, {done}/{n} s2 done)")
                     for o in group:
                         i = o.request_id[1]
                         resp = np.asarray(o.output_ids, np.int64)
@@ -231,6 +249,7 @@ class SocioSegInferPipeline(BasePipeline):
                                                stage=2)
                     for i, m in zip(idxs, masks):
                         s2_masks[i] = m
+                    _ev("s2 SAM group done")
         finally:
             for w in workers:
                 w.stop_server()
@@ -246,14 +265,17 @@ class SocioSegInferPipeline(BasePipeline):
         from ...utils.functionals import GenerateRequestType as GRT
         cfg = self.pipeline_config
         pad = self.model_config.pad_token_id
+        _ev = getattr(self, "_trace_ev", lambda tag: None)
         idxs = [o.request_id[1] for o in group]
         for o in group:
             i = o.request_id[1]
             resp = np.asarray(o.output_ids, np.int64)
             map_texts[i] = strip_special_tokens(
                 self.processor.decode(resp[resp != pad]))
+        _ev("  restage: s1 SAM start")
         masks = self._segment_idxs(batch, idxs, [map_texts[i] for i in idxs],
                                    stage=1)
+        _ev("  restage: s1 SAM done, render start")
         s2_prompts, imgs = [], []
         for i, m in zip(idxs, masks):
             s1_masks[i] = m
@@ -265,11 +287,14 @@ class SocioSegInferPipeline(BasePipeline):
             s2_images[i] = rendered
             s2_prompts.append(format_stage2_prompt(rows[i]["question"], btxt))
             imgs.append(rendered)
+        _ev("  restage: render done, collate start")
         s2_batch = collate_restage(self.processor, self.model_config,
                                    s2_prompts, imgs, cfg.prompt_length)
+        _ev("  restage: collate done, s2 embeds start")
         embeds2 = batch_image_embeds(self.model_config, rollout, s2_batch,
                                      prefix="",
                                      image_config=self.processor.image_config)
+        _ev("  restage: s2 embeds done")
         ids2 = np.asarray(s2_batch.batch["input_ids"])
         attn2 = np.asarray(s2_batch.batch["attention_mask"])
         pos2 = np.asarray(s2_batch.batch["position_ids"])
