@@ -429,6 +429,11 @@ class DecodeEngine:
             img = np.zeros((img_bucket, self.config.text.hidden_size), np.float32)
             img[:n_img_total] = np.concatenate(imgs, axis=0)
             img = jnp.asarray(img, self._embed_dtype)
+        if img is not None and self.mesh is not None:
+            # embeds computed outside the engine may be committed to another
+            # device — replicate onto the TP mesh before the sharded prefill
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            img = jax.device_put(img, NamedSharding(self.mesh, P()))
 
         fn = self._get_prefill(bucket, img_bucket, Bp)
         self._rng, key = jax.random.split(self._rng)

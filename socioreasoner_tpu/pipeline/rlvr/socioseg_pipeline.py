@@ -179,85 +179,36 @@ class SocioSegPipeline(BasePipeline):
             batch = self.collator(rows)
             rollout_params = self.param_store.get("rollout")
 
-            # 3 ---- stage-1 generate, n samples per prompt
-            with mm.timer("generate_s1"):
-                embeds = batch_image_embeds(self.model_config, rollout_params,
-                                            batch, prefix="map_", image_config=self.processor.image_config)
-                gen_batch = BatchProto.from_dict(tensors={
-                    "input_ids": batch.batch["map_input_ids"],
-                    "attention_mask": batch.batch["map_attention_mask"],
-                    "position_ids": batch.batch["map_position_ids"],
-                }, meta={"image_embeds_list": embeds,
-                         "pad_token_id": self.model_config.pad_token_id})
-                ga = cfg.actor_infer.generating_args
-                if cfg.generate_opt_level >= 1:
-                    # request-level streaming, abort-on-complete per prompt
-                    out = self.generate_scheduler.generate_requests(gen_batch, ga)
-                    seqs1 = np.asarray(out.batch["output"])
-                else:
-                    seqs1 = self.decode_group.generate(gen_batch, ga)
-
+            # 3-7 ---- two-stage rollout: generate → SAM → restage → generate
+            # → SAM. The overlapped path streams requests through the decode
+            # servers so host restage work (SAM/render/re-tokenize/ViT) runs
+            # while other samples still decode (SURVEY §7 hard part (e));
+            # overlap_restage: false keeps the step-by-step reference order.
+            ro = self._rollout(rows, batch, rollout_params, mm)
             map_post = fn.postprocess_generate(
                 input_ids=np.asarray(batch.batch["map_input_ids"]),
                 attention_mask=np.asarray(batch.batch["map_attention_mask"]),
                 position_ids=np.asarray(batch.batch["map_position_ids"]),
-                output=seqs1, num_return_sequences=n,
+                output=ro["seqs1"], num_return_sequences=n,
                 sequence_length=cfg.sequence_length,
                 eos_token_id=self.model_config.eos_token_id,
                 pad_token_id=self.model_config.pad_token_id)
-            map_texts = self._decode_responses(map_post)
+            map_texts = ro["map_texts"]
             expanded = batch.repeat(n)          # rows expanded to match samples
-
-            # 4 ---- SAM stage-1
-            with mm.timer("segment_s1"):
-                map_masks = self._segment(expanded, map_texts, stage=1)
-
-            # 5 ---- restage: render + stage-2 prompts
-            with mm.timer("restage"):
-                s2_prompts, s2_images, bbox_texts = [], [], []
-                for i in range(len(expanded)):
-                    bboxes = parse_bboxes(map_texts[i])
-                    btxt = json.dumps([{"bbox_2d": b} for b in bboxes])
-                    bbox_texts.append(btxt)
-                    rendered = render_visual_prompt(
-                        btxt, [expanded.non_tensor["image_map"][i],
-                               expanded.non_tensor["image_sat"][i]], map_masks[i])
-                    s2_prompts.append(format_stage2_prompt(
-                        str(expanded.non_tensor["question"][i]), btxt))
-                    s2_images.append(rendered)
-                s2_batch = collate_restage(self.processor, self.model_config,
-                                           s2_prompts, s2_images, cfg.prompt_length)
-
-            # 6 ---- stage-2 generate (single sample per expanded prompt)
-            with mm.timer("generate_s2"):
-                embeds2 = batch_image_embeds(self.model_config, rollout_params,
-                                             s2_batch, prefix="", image_config=self.processor.image_config)
-                gen2 = BatchProto.from_dict(tensors={
-                    "input_ids": s2_batch.batch["input_ids"],
-                    "attention_mask": s2_batch.batch["attention_mask"],
-                    "position_ids": s2_batch.batch["position_ids"],
-                }, meta={"image_embeds_list": embeds2})
-                import copy as _copy
-                ga_one = _copy.copy(ga)
-                ga_one.num_return_sequences = 1
-                seqs2 = self.decode_group.generate(gen2, ga_one)
+            map_masks, bbox_texts = ro["map_masks"], ro["bbox_texts"]
             sat_post = fn.postprocess_generate(
-                input_ids=np.asarray(s2_batch.batch["input_ids"]),
-                attention_mask=np.asarray(s2_batch.batch["attention_mask"]),
-                position_ids=np.asarray(s2_batch.batch["position_ids"]),
-                output=seqs2, num_return_sequences=1,
+                input_ids=ro["s2_input_ids"],
+                attention_mask=ro["s2_attention_mask"],
+                position_ids=ro["s2_position_ids"],
+                output=ro["seqs2"], num_return_sequences=1,
                 sequence_length=cfg.sequence_length,
                 eos_token_id=self.model_config.eos_token_id,
                 pad_token_id=self.model_config.pad_token_id)
-            sat_texts = self._decode_responses(sat_post)
-
-            # 7 ---- SAM stage-2
-            with mm.timer("segment_s2"):
-                sat_masks = self._segment(expanded, sat_texts, stage=2)
+            sat_texts, sat_masks = ro["sat_texts"], ro["sat_masks"]
 
             # build train batches (canonical keys + packed image embeds)
-            map_train = self._train_batch(map_post, embeds, repeat=n)
-            sat_train = self._train_batch(sat_post, embeds2, repeat=1)
+            map_train = self._train_batch(map_post, ro["embeds"], repeat=n)
+            sat_train = self._train_batch(sat_post, ro["embeds2"], repeat=1)
 
             # 8/10 ---- reference + old logprobs
             with mm.timer("logprobs"):
@@ -300,6 +251,296 @@ class SocioSegPipeline(BasePipeline):
             step += 1
             self.state.step = step
         return last_metrics
+
+    # --------------------------------------------------------------- rollout
+    def _rollout(self, rows, batch: BatchProto, rollout_params, mm) -> Dict:
+        """Two-stage rollout producing everything downstream of step 7:
+        full-sequence matrices (seqs1/seqs2, layout [left-padded prompt |
+        right-padded response]), response texts, SAM masks, stage-2 prompt
+        tensors and per-sample image embeds."""
+        cfg = self.pipeline_config
+        if (getattr(cfg, "overlap_restage", True)
+                and len(rows) * cfg.num_return_sequences > 1):
+            with mm.timer("rollout"):
+                return self._rollout_overlapped(rows, batch, rollout_params)
+        return self._rollout_sequential(rows, batch, rollout_params, mm)
+
+    def _rollout_sequential(self, rows, batch, rollout_params, mm) -> Dict:
+        """Reference step order (ref rlvr_socioseg_vlm_pipeline.py:658-879)."""
+        cfg = self.pipeline_config
+        n = cfg.num_return_sequences
+        with mm.timer("generate_s1"):
+            embeds = batch_image_embeds(
+                self.model_config, rollout_params, batch, prefix="map_",
+                image_config=self.processor.image_config)
+            gen_batch = BatchProto.from_dict(tensors={
+                "input_ids": batch.batch["map_input_ids"],
+                "attention_mask": batch.batch["map_attention_mask"],
+                "position_ids": batch.batch["map_position_ids"],
+            }, meta={"image_embeds_list": embeds,
+                     "pad_token_id": self.model_config.pad_token_id})
+            ga = cfg.actor_infer.generating_args
+            if cfg.generate_opt_level >= 1:
+                # request-level streaming, abort-on-complete per prompt
+                out = self.generate_scheduler.generate_requests(gen_batch, ga)
+                seqs1 = np.asarray(out.batch["output"])
+            else:
+                seqs1 = self.decode_group.generate(gen_batch, ga)
+        ids1 = np.asarray(batch.batch["map_input_ids"])
+        map_texts = self._texts_from_seqs(seqs1, np.repeat(ids1, n, axis=0))
+        expanded = batch.repeat(n)
+
+        with mm.timer("segment_s1"):
+            map_masks = self._segment(expanded, map_texts, stage=1)
+
+        with mm.timer("restage"):
+            s2_prompts, s2_images, bbox_texts = [], [], []
+            for i in range(len(expanded)):
+                bboxes = parse_bboxes(map_texts[i])
+                btxt = json.dumps([{"bbox_2d": b} for b in bboxes])
+                bbox_texts.append(btxt)
+                rendered = render_visual_prompt(
+                    btxt, [expanded.non_tensor["image_map"][i],
+                           expanded.non_tensor["image_sat"][i]], map_masks[i])
+                s2_prompts.append(format_stage2_prompt(
+                    str(expanded.non_tensor["question"][i]), btxt))
+                s2_images.append(rendered)
+            s2_batch = collate_restage(self.processor, self.model_config,
+                                       s2_prompts, s2_images, cfg.prompt_length)
+
+        with mm.timer("generate_s2"):
+            embeds2 = batch_image_embeds(
+                self.model_config, rollout_params, s2_batch, prefix="",
+                image_config=self.processor.image_config)
+            gen2 = BatchProto.from_dict(tensors={
+                "input_ids": s2_batch.batch["input_ids"],
+                "attention_mask": s2_batch.batch["attention_mask"],
+                "position_ids": s2_batch.batch["position_ids"],
+            }, meta={"image_embeds_list": embeds2})
+            import copy as _copy
+            ga_one = _copy.copy(cfg.actor_infer.generating_args)
+            ga_one.num_return_sequences = 1
+            seqs2 = self.decode_group.generate(gen2, ga_one)
+        s2_ids = np.asarray(s2_batch.batch["input_ids"])
+        sat_texts = self._texts_from_seqs(seqs2, s2_ids)
+
+        with mm.timer("segment_s2"):
+            sat_masks = self._segment(expanded, sat_texts, stage=2)
+
+        return dict(seqs1=seqs1, seqs2=seqs2, embeds=embeds, embeds2=embeds2,
+                    map_texts=map_texts, sat_texts=sat_texts,
+                    map_masks=map_masks, sat_masks=sat_masks,
+                    bbox_texts=bbox_texts,
+                    s2_input_ids=s2_ids,
+                    s2_attention_mask=np.asarray(s2_batch.batch["attention_mask"]),
+                    s2_position_ids=np.asarray(s2_batch.batch["position_ids"]))
+
+    def _rollout_overlapped(self, rows, batch, rollout_params,
+                            group_size: int = None) -> Dict:
+        """Request-streaming rollout: the host restage of finished samples
+        (decode text → SAM s1 → render → re-tokenize → ViT) runs while other
+        samples still decode, and stage-2 requests refill freed slots
+        immediately — the train-loop counterpart of SocioSegInferPipeline.
+        _two_stage_overlapped (the reference's serial restage throttles its
+        GPUs exactly here, ref :714-825)."""
+        import queue as _q
+
+        from ...generation.sampling import SamplingParams
+        from ...utils.functionals import GenerateRequestType as GRT
+
+        cfg = self.pipeline_config
+        n = cfg.num_return_sequences
+        B = len(rows)
+        N = B * n
+        if group_size is None:
+            group_size = max(2, min(8, N // 2))
+        ga = cfg.actor_infer.generating_args
+        sp = SamplingParams.from_generating_args(ga)
+        pad = self.model_config.pad_token_id
+
+        ids1 = np.asarray(batch.batch["map_input_ids"])
+        attn1 = np.asarray(batch.batch["map_attention_mask"])
+        pos1 = np.asarray(batch.batch["map_position_ids"])
+        P1 = ids1.shape[1]
+        P2 = cfg.prompt_length
+
+        map_texts = [None] * N
+        sat_texts = [None] * N
+        map_masks = [None] * N
+        sat_masks = [None] * N
+        bbox_texts = [None] * N
+        out1 = [[] for _ in range(N)]
+        out2 = [[] for _ in range(N)]
+        s2_ids = np.full((N, P2), pad, ids1.dtype)
+        s2_attn = np.zeros((N, P2), attn1.dtype)
+        s2_pos = np.zeros((N, 3, P2), pos1.dtype)
+        embeds2 = [None] * N
+
+        workers = self.decode_replicas
+        loads = [0] * len(workers)
+        s1_q: "_q.Queue" = _q.Queue()
+        s2_q: "_q.Queue" = _q.Queue()
+        state = dict(sp=sp, loads=loads, s2_q=s2_q, n=n,
+                     map_texts=map_texts, map_masks=map_masks,
+                     bbox_texts=bbox_texts, s2_ids=s2_ids, s2_attn=s2_attn,
+                     s2_pos=s2_pos, embeds2=embeds2, out1=out1)
+
+        for w in workers:
+            w.start_server()
+        try:
+            embeds = batch_image_embeds(
+                self.model_config, rollout_params, batch, prefix="map_",
+                image_config=self.processor.image_config)
+            for i in range(B):
+                valid = attn1[i] == 1
+                for j in range(n):
+                    k = i * n + j
+                    w = int(np.argmin(loads))
+                    loads[w] += 1
+                    workers[w].add_request(GRT.ADD, {
+                        "request_id": ("s1", k, w),
+                        "prompt_ids": ids1[i][valid].tolist(),
+                        "sampling": sp,
+                        "position_ids": pos1[i][:, valid],
+                        "image_embeds": embeds[i],
+                        "callback": s1_q.put})
+
+            done, buf = 0, []
+            while done < N:
+                o = s1_q.get()
+                done += 1
+                loads[o.request_id[2]] -= 1
+                buf.append(o)
+                if len(buf) >= group_size or done == N:
+                    group, buf = buf, []
+                    self._train_restage_group(group, batch, rollout_params,
+                                              workers, state)
+
+            done, buf = 0, []
+            while done < N:
+                o = s2_q.get()
+                done += 1
+                loads[o.request_id[2]] -= 1
+                buf.append(o)
+                if len(buf) >= group_size or done == N:
+                    group, buf = buf, []
+                    idxs = [o.request_id[1] for o in group]
+                    for o in group:
+                        k = o.request_id[1]
+                        out2[k] = list(o.output_ids)
+                        resp = np.asarray(o.output_ids, np.int64)
+                        sat_texts[k] = strip_special_tokens(
+                            self.processor.decode(resp[resp != pad]))
+                    masks = self._segment_group(batch, idxs,
+                                                [sat_texts[k] for k in idxs],
+                                                n, stage=2)
+                    for k, m in zip(idxs, masks):
+                        sat_masks[k] = m
+        finally:
+            for w in workers:
+                w.stop_server()
+
+        # [left-padded prompt | right-padded response] full-sequence matrices
+        # (the decode strategies' layout contract with postprocess_generate)
+        W1 = P1 + max([len(o) for o in out1] + [1])
+        seqs1 = np.full((N, W1), pad, np.int64)
+        W2 = P2 + max([len(o) for o in out2] + [1])
+        seqs2 = np.full((N, W2), pad, np.int64)
+        for k in range(N):
+            seqs1[k, :P1] = ids1[k // n]
+            seqs1[k, P1:P1 + len(out1[k])] = out1[k]
+            seqs2[k, :P2] = s2_ids[k]
+            seqs2[k, P2:P2 + len(out2[k])] = out2[k]
+        return dict(seqs1=seqs1, seqs2=seqs2, embeds=embeds, embeds2=embeds2,
+                    map_texts=map_texts, sat_texts=sat_texts,
+                    map_masks=map_masks, sat_masks=sat_masks,
+                    bbox_texts=bbox_texts, s2_input_ids=s2_ids,
+                    s2_attention_mask=s2_attn, s2_position_ids=s2_pos)
+
+    def _train_restage_group(self, group, batch, rollout_params, workers,
+                             st: Dict):
+        """One group's host restage: decode text → SAM s1 → render → stage-2
+        prompts → re-tokenize → ViT embeds → submit stage-2 requests."""
+        from ...utils.functionals import GenerateRequestType as GRT
+
+        cfg = self.pipeline_config
+        n = st["n"]
+        pad = self.model_config.pad_token_id
+        idxs = [o.request_id[1] for o in group]
+        for o in group:
+            k = o.request_id[1]
+            st["out1"][k] = list(o.output_ids)
+            resp = np.asarray(o.output_ids, np.int64)
+            st["map_texts"][k] = strip_special_tokens(
+                self.processor.decode(resp[resp != pad]))
+        masks = self._segment_group(batch, idxs,
+                                    [st["map_texts"][k] for k in idxs],
+                                    n, stage=1)
+        s2_prompts, imgs = [], []
+        for k, m in zip(idxs, masks):
+            st["map_masks"][k] = m
+            bboxes = parse_bboxes(st["map_texts"][k])
+            btxt = json.dumps([{"bbox_2d": b} for b in bboxes])
+            st["bbox_texts"][k] = btxt
+            i = k // n
+            rendered = render_visual_prompt(
+                btxt, [batch.non_tensor["image_map"][i],
+                       batch.non_tensor["image_sat"][i]], m)
+            s2_prompts.append(format_stage2_prompt(
+                str(batch.non_tensor["question"][i]), btxt))
+            imgs.append(rendered)
+        s2_batch = collate_restage(self.processor, self.model_config,
+                                   s2_prompts, imgs, cfg.prompt_length)
+        em2 = batch_image_embeds(self.model_config, rollout_params, s2_batch,
+                                 prefix="",
+                                 image_config=self.processor.image_config)
+        gids = np.asarray(s2_batch.batch["input_ids"])
+        gattn = np.asarray(s2_batch.batch["attention_mask"])
+        gpos = np.asarray(s2_batch.batch["position_ids"])
+        loads = st["loads"]
+        for j, k in enumerate(idxs):
+            st["s2_ids"][k] = gids[j]
+            st["s2_attn"][k] = gattn[j]
+            st["s2_pos"][k] = gpos[j]
+            st["embeds2"][k] = em2[j]
+            valid = gattn[j] == 1
+            w = int(np.argmin(loads))
+            loads[w] += 1
+            workers[w].add_request(GRT.ADD, {
+                "request_id": ("s2", k, w),
+                "prompt_ids": gids[j][valid].tolist(),
+                "sampling": st["sp"],
+                "position_ids": gpos[j][:, valid],
+                "image_embeds": em2[j],
+                "callback": st["s2_q"].put})
+
+    def _segment_group(self, batch: BatchProto, idxs: List[int],
+                       texts: List[str], n: int, stage: int
+                       ) -> List[np.ndarray]:
+        """_segment over a subset of EXPANDED sample indices (k // n maps
+        back to the un-expanded tile row)."""
+        from .parsing import parse_visual_prompts_s1, parse_visual_prompts_s2
+        parser = parse_visual_prompts_s1 if stage == 1 else parse_visual_prompts_s2
+        prompts = np.empty(len(idxs), object)
+        prompts[:] = [parser(t) for t in texts]
+        images = np.empty(len(idxs), object)
+        for j, k in enumerate(idxs):
+            images[j] = batch.non_tensor["seg_image"][k // n]
+        seg_batch = BatchProto.from_dict(non_tensors={
+            "seg_image": images, "visual_prompt": prompts})
+        return [r["mask"] for r in self.seg_infer.segment(seg_batch)]
+
+    def _texts_from_seqs(self, seqs: np.ndarray, prompt_ids: np.ndarray
+                         ) -> List[str]:
+        """[left-padded prompt | response] rows → response texts."""
+        pad = self.model_config.pad_token_id
+        prompt_lens = (np.asarray(prompt_ids) != pad).sum(-1)
+        texts = []
+        for i in range(len(seqs)):
+            valid = seqs[i][seqs[i] != pad]
+            texts.append(strip_special_tokens(
+                self.processor.decode(valid[int(prompt_lens[i]):])))
+        return texts
 
     # ------------------------------------------------------------- validation
     def _validate(self, max_tiles: Optional[int] = None) -> Dict[str, float]:
