@@ -336,7 +336,8 @@ class SocioSegPipeline(BasePipeline):
                     s2_position_ids=np.asarray(s2_batch.batch["position_ids"]))
 
     def _rollout_overlapped(self, rows, batch, rollout_params,
-                            group_size: int = None) -> Dict:
+                            group_size: int = None, n: int = None,
+                            ga=None) -> Dict:
         """Request-streaming rollout: the host restage of finished samples
         (decode text → SAM s1 → render → re-tokenize → ViT) runs while other
         samples still decode, and stage-2 requests refill freed slots
@@ -349,12 +350,14 @@ class SocioSegPipeline(BasePipeline):
         from ...utils.functionals import GenerateRequestType as GRT
 
         cfg = self.pipeline_config
-        n = cfg.num_return_sequences
+        if n is None:
+            n = cfg.num_return_sequences
         B = len(rows)
         N = B * n
         if group_size is None:
             group_size = max(2, min(8, N // 2))
-        ga = cfg.actor_infer.generating_args
+        if ga is None:
+            ga = cfg.actor_infer.generating_args
         sp = SamplingParams.from_generating_args(ga)
         pad = self.model_config.pad_token_id
 
@@ -560,52 +563,9 @@ class SocioSegPipeline(BasePipeline):
             rows = rows_all[start:start + bs]
             batch = self.collator(rows)
             rollout = self.param_store.get("rollout")
-            embeds = batch_image_embeds(self.model_config, rollout, batch,
-                                        prefix="map_", image_config=self.processor.image_config)
-            gen_batch = BatchProto.from_dict(tensors={
-                "input_ids": batch.batch["map_input_ids"],
-                "attention_mask": batch.batch["map_attention_mask"],
-                "position_ids": batch.batch["map_position_ids"],
-            }, meta={"image_embeds_list": embeds})
-            seqs = self.decode_group.generate(gen_batch, ga)
-            post = fn.postprocess_generate(
-                input_ids=np.asarray(batch.batch["map_input_ids"]),
-                attention_mask=np.asarray(batch.batch["map_attention_mask"]),
-                position_ids=np.asarray(batch.batch["map_position_ids"]),
-                output=seqs, num_return_sequences=1,
-                sequence_length=cfg.sequence_length,
-                eos_token_id=self.model_config.eos_token_id,
-                pad_token_id=self.model_config.pad_token_id)
-            map_texts = self._decode_responses(post)
-            s1_masks = self._segment(batch, map_texts, stage=1)
-            s2_prompts, s2_images = [], []
-            for i, row in enumerate(rows):
-                bboxes = parse_bboxes(map_texts[i])
-                btxt = json.dumps([{"bbox_2d": b} for b in bboxes])
-                rendered = render_visual_prompt(
-                    btxt, [row["image_map"], row["image_sat"]], s1_masks[i])
-                s2_prompts.append(format_stage2_prompt(row["question"], btxt))
-                s2_images.append(rendered)
-            s2_batch = collate_restage(self.processor, self.model_config,
-                                       s2_prompts, s2_images, cfg.prompt_length)
-            embeds2 = batch_image_embeds(self.model_config, rollout, s2_batch,
-                                         prefix="", image_config=self.processor.image_config)
-            gen2 = BatchProto.from_dict(tensors={
-                "input_ids": s2_batch.batch["input_ids"],
-                "attention_mask": s2_batch.batch["attention_mask"],
-                "position_ids": s2_batch.batch["position_ids"],
-            }, meta={"image_embeds_list": embeds2})
-            seqs2 = self.decode_group.generate(gen2, ga)
-            post2 = fn.postprocess_generate(
-                input_ids=np.asarray(s2_batch.batch["input_ids"]),
-                attention_mask=np.asarray(s2_batch.batch["attention_mask"]),
-                position_ids=np.asarray(s2_batch.batch["position_ids"]),
-                output=seqs2, num_return_sequences=1,
-                sequence_length=cfg.sequence_length,
-                eos_token_id=self.model_config.eos_token_id,
-                pad_token_id=self.model_config.pad_token_id)
-            sat_texts = self._decode_responses(post2)
-            s2_masks = self._segment(batch, sat_texts, stage=2)
+            # greedy n=1 streaming rollout — same overlapped plane as training
+            ro = self._rollout_overlapped(rows, batch, rollout, n=1, ga=ga)
+            s2_masks = ro["sat_masks"]
             for i, row in enumerate(rows):
                 gt = np.asarray(row["gt_mask"].convert("L")
                                 if hasattr(row["gt_mask"], "convert")
@@ -729,15 +689,6 @@ class SocioSegPipeline(BasePipeline):
             batch.meta["image_embeds"] = jnp.concatenate(
                 [jnp.asarray(e) for e in rep], axis=0)
         return batch
-
-    def _decode_responses(self, post: Dict[str, np.ndarray]) -> List[str]:
-        texts = []
-        resp = post["responses"]
-        pad = self.model_config.pad_token_id
-        for row in resp:
-            valid = row[row != pad]
-            texts.append(strip_special_tokens(self.processor.decode(valid)))
-        return texts
 
     def _segment(self, expanded: BatchProto, texts: List[str], stage: int
                  ) -> List[np.ndarray]:

@@ -77,3 +77,13 @@ def test_overlapped_rollout_matches_sequential(tmp_path):
     for a, b in zip(ovl["embeds2"], seq["embeds2"]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_validate_runs_through_overlapped_rollout(tmp_path):
+    """_validate (val_iou/* every eval_steps, ref val_multi :1165) rides the
+    same streaming rollout plane with greedy n=1 sampling."""
+    pipe, dataset = _make_pipe(tmp_path)
+    pipe.val_dataset = dataset
+    metrics = pipe._validate()
+    assert "val_iou/mean" in metrics
+    assert 0.0 <= metrics["val_iou/mean"] <= 1.0
