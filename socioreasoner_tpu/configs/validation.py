@@ -20,12 +20,14 @@ from .worker_config import WorkerConfig
 _KNOWN: Dict[str, Set[str]] = {
     "jax_train": {
         "tensor_model_parallel_size", "context_parallel_size",
+        "context_parallel_impl",
         "pipeline_model_parallel_size", "virtual_pipeline_model_parallel_size",
         "pp_micro_batches", "fsdp_size", "dp_size", "sequence_parallel",
         "vocab_parallel_logprobs", "expert_model_parallel_size",
     },
     "jax_infer": {
         "tensor_model_parallel_size", "context_parallel_size",
+        "context_parallel_impl",
         "pipeline_model_parallel_size", "virtual_pipeline_model_parallel_size",
         "pp_micro_batches", "fsdp_size", "dp_size", "sequence_parallel",
         "vocab_parallel_logprobs",
@@ -62,6 +64,10 @@ def validate_worker(role: str, wc: Optional[WorkerConfig],
         if sc.get(key) not in _QUANT_VALUES:
             raise ValueError(
                 f"role {role}: {key}={sc[key]!r} — must be null or 'int8'")
+    if sc.get("context_parallel_impl", "ring") not in ("ring", "ulysses"):
+        raise ValueError(
+            f"role {role}: context_parallel_impl={sc['context_parallel_impl']!r}"
+            " — must be 'ring' or 'ulysses'")
     # parallelism divisibility against the devices this role can see
     mapping = wc.resolved_device_mapping()
     n = len(mapping) if mapping else n_devices

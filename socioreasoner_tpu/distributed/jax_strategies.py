@@ -195,7 +195,8 @@ class JaxTrainStrategy(TrainStrategy):
         from ..parallel.pipeline_parallel import make_pp_config
         cfg = (self.worker_config.strategy_args.config
                if self.worker_config else {})
-        cp = make_cp_config(mesh, int(cfg.get("context_parallel_size", 1)))
+        cp = make_cp_config(mesh, int(cfg.get("context_parallel_size", 1)),
+                            impl=str(cfg.get("context_parallel_impl", "ring")))
         pp = make_pp_config(mesh, int(cfg.get("pipeline_model_parallel_size", 1)),
                             n_micro=int(cfg.get("pp_micro_batches", 0)),
                             vpp=int(cfg.get(

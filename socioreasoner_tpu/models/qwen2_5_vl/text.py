@@ -62,7 +62,14 @@ def attention_layer(cfg: TextConfig, p: Dict, x: jnp.ndarray,
     q, k = apply_rotary(q, k, cos, sin)
 
     if cache_kv is None:
-        if cp is not None:
+        if cp is not None and getattr(cp, "impl", "ring") == "ulysses":
+            # head-axis all-to-all: full-sequence attention per head slice,
+            # natural sequence order (CPConfig.perm is identity)
+            from ...parallel.ulysses import ulysses_attention_sharded
+            out = ulysses_attention_sharded(q, k, v, cp.mesh, seq_axis=cp.axis,
+                                            attention_mask=attention_mask,
+                                            causal=True)
+        elif cp is not None:
             from ...parallel.ring_attention import ring_attention_zigzag
             out = ring_attention_zigzag(q, k, v, q_positions, attention_mask,
                                         mesh=cp.mesh, seq_axis=cp.axis,

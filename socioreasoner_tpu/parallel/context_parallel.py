@@ -52,10 +52,16 @@ def inverse_zigzag_indices(L: int, cp: int) -> np.ndarray:
 
 @dataclasses.dataclass(frozen=True)
 class CPConfig:
-    """Context-parallel plan threaded through forward/train/logprob steps."""
+    """Context-parallel plan threaded through forward/train/logprob steps.
+
+    impl == "ring": zigzag layout + ring attention (K/V rotate over ICI).
+    impl == "ulysses": head-axis all-to-all (parallel/ulysses.py) — every rank
+    attends the FULL sequence over a head slice, so the layout stays natural
+    order (perm = identity; no zigzag load-balancing needed)."""
     mesh: Mesh
     size: int
     axis: str = "sp"
+    impl: str = "ring"
 
     def __post_init__(self):
         ax = dict(zip(self.mesh.axis_names, self.mesh.devices.shape))
@@ -63,19 +69,27 @@ class CPConfig:
             raise ValueError(
                 f"context_parallel_size={self.size} but mesh axis "
                 f"{self.axis!r} has size {ax.get(self.axis, 1)}")
+        if self.impl not in ("ring", "ulysses"):
+            raise ValueError(f"context_parallel_impl must be 'ring' or "
+                             f"'ulysses', got {self.impl!r}")
 
     def perm(self, L: int) -> np.ndarray:
+        if self.impl == "ulysses":
+            return np.arange(L)
         return zigzag_indices(L, self.size)
 
     def inv_perm(self, L: int) -> np.ndarray:
+        if self.impl == "ulysses":
+            return np.arange(L)
         return inverse_zigzag_indices(L, self.size)
 
 
 def make_cp_config(mesh: Optional[Mesh], context_parallel_size: int,
-                   axis: str = "sp") -> Optional[CPConfig]:
+                   axis: str = "sp", impl: str = "ring") -> Optional[CPConfig]:
     if context_parallel_size <= 1:
         return None
     if mesh is None:
         raise ValueError("context_parallel_size > 1 requires an explicit mesh "
                          "with an 'sp' axis")
-    return CPConfig(mesh=mesh, size=context_parallel_size, axis=axis)
+    return CPConfig(mesh=mesh, size=context_parallel_size, axis=axis,
+                    impl=impl)
