@@ -305,10 +305,42 @@ def bench_decode_int8(params, config, rng):
     return 24 * nsteps / (time.perf_counter() - t0)
 
 
+def _backend_watchdog(timeout_s: float):
+    """Fail fast (rc=1) if the TPU backend never comes up.
+
+    The axon plugin's device claim blocks indefinitely when the pool is
+    unreachable (observed 2026-08-17: jax.devices() hung >25 min during a
+    tunnel outage), which would leave the driver with NO bench record at all.
+    Probe backend init on a side thread; if it does not finish inside
+    `timeout_s` (healthy claims take seconds, cold ones ~1 min), report and
+    exit non-zero so the failure is recorded instead of a hang."""
+    import os
+    import sys
+    import threading
+
+    import jax
+
+    done = threading.Event()
+
+    def probe():
+        jax.devices()
+        done.set()
+
+    threading.Thread(target=probe, daemon=True).start()
+    if not done.wait(timeout_s):
+        print(f"[bench] FATAL: jax backend init did not complete within "
+              f"{timeout_s:.0f}s (TPU pool unreachable?)", file=sys.stderr)
+        os._exit(1)
+
+
 def main():
     import os
 
     import jax
+
+    if os.environ.get("SOCIO_BENCH_TINY") != "1":
+        _backend_watchdog(float(os.environ.get(
+            "SOCIO_BENCH_INIT_TIMEOUT", "900")))
     rng = np.random.default_rng(0)
 
     if os.environ.get("SOCIO_BENCH_TINY") == "1":
