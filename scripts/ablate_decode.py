@@ -77,7 +77,7 @@ def main():
             return q * (lengths[:, None, None] > 0)
         da.paged_decode_attention = fake_paged
         import socioreasoner_tpu.models.qwen2_5_vl.text  # noqa: F401 (late import target)
-    elif variant not in ("base", "chunk128", "int8"):
+    elif variant not in ("base", "chunk128", "int8", "int4"):
         raise SystemExit(f"unknown variant {variant}")
 
     config = Qwen25VLConfig()
@@ -87,7 +87,8 @@ def main():
     chunk = 128 if variant == "chunk128" else 64
     engine = DecodeEngine(config, params, max_slots=24, max_len=1536,
                           decode_chunk=chunk, prefill_buckets=(512,),
-                          weight_quant="int8" if variant == "int8" else None)
+                          weight_quant=variant if variant in ("int8", "int4")
+                          else None)
     sp = SamplingParams(temperature=1.0, top_p=0.9, top_k=50,
                         max_new_tokens=257)
     reqs = [Request(request_id=i,

@@ -41,7 +41,8 @@ _KNOWN: Dict[str, Set[str]] = {
     "seg_infer": {"seg_encode_batch", "seg_embed_cache"},
 }
 
-_QUANT_VALUES = (None, "int8")
+_QUANT_VALUES = {"kv_quant": (None, "int8"),
+                 "weight_quant": (None, "int8", "int4")}
 
 
 def validate_worker(role: str, wc: Optional[WorkerConfig],
@@ -60,10 +61,10 @@ def validate_worker(role: str, wc: Optional[WorkerConfig],
         raise ValueError(
             f"role {role} (strategy {name}): unsupported strategy_config "
             f"key(s) {unknown}; supported: {sorted(known)}")
-    for key in ("kv_quant", "weight_quant"):
-        if sc.get(key) not in _QUANT_VALUES:
+    for key, values in _QUANT_VALUES.items():
+        if sc.get(key) not in values:
             raise ValueError(
-                f"role {role}: {key}={sc[key]!r} — must be null or 'int8'")
+                f"role {role}: {key}={sc[key]!r} — must be one of {values}")
     if sc.get("context_parallel_impl", "ring") not in ("ring", "ulysses"):
         raise ValueError(
             f"role {role}: context_parallel_impl={sc['context_parallel_impl']!r}"

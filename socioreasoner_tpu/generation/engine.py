@@ -85,9 +85,9 @@ class DecodeEngine:
                  prefill_batch_sizes: Optional[Tuple[int, ...]] = None,
                  mesh=None, tp_axis: str = "tp"):
         self.config = config
-        if weight_quant not in (None, "int8"):
-            raise ValueError(f"weight_quant must be None or 'int8', got "
-                             f"{weight_quant!r}")
+        if weight_quant not in (None, "int8", "int4"):
+            raise ValueError(f"weight_quant must be None, 'int8' or 'int4', "
+                             f"got {weight_quant!r}")
         if weight_quant and config.text.n_experts:
             raise NotImplementedError("weight_quant with MoE expert stacks")
         self.weight_quant = weight_quant
@@ -132,9 +132,9 @@ class DecodeEngine:
         # bf16 params (prefill is MXU-bound so int8 buys nothing, and the
         # int8 prefill graph crashes the axon remote XLA compiler).
         self.params_q = None
-        if weight_quant == "int8":
+        if weight_quant:
             from ..ops.quant import quantize_decode_params
-            self.params_q = quantize_decode_params(params)
+            self.params_q = quantize_decode_params(params, mode=weight_quant)
         self.S = max_slots
         self.Lmax = max_len
         self.decode_chunk = decode_chunk
@@ -223,18 +223,18 @@ class DecodeEngine:
 
     # ------------------------------------------------------------------ public
     def set_params(self, params):
-        """Swap in new weights (train→infer sync); re-derives the int8 decode
-        copy when weight_quant is enabled. Caller must drain the engine first
-        (see JaxDecodeStrategy.model_update)."""
+        """Swap in new weights (train→infer sync); re-derives the quantized
+        decode copy when weight_quant is enabled. Caller must drain the engine
+        first (see JaxDecodeStrategy.model_update)."""
         if self.mesh is not None:
             from ..parallel.sharding import shard_params
             params = shard_params(params, self.mesh)
         elif self.device is not None:
             params = jax.device_put(params, self.device)
         self.params = params
-        if self.weight_quant == "int8":
+        if self.weight_quant:
             from ..ops.quant import quantize_decode_params
-            self.params_q = quantize_decode_params(params)
+            self.params_q = quantize_decode_params(params, mode=self.weight_quant)
 
     def add_request(self, request_id, prompt_ids, sampling: SamplingParams,
                     image_embeds: Optional[np.ndarray] = None,

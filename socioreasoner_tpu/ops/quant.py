@@ -1,4 +1,4 @@
-"""Weight-only int8 quantization for the decode path.
+"""Weight-only int8 / int4 quantization for the decode path.
 
 Decode at serving batch sizes is weight-HBM-bound (measured ~9.6 ms of a
 12.9 ms step at 24 slots is layer-matmul weight reads on v5e). Per-output-
@@ -6,6 +6,13 @@ channel symmetric int8 halves that traffic; XLA fuses the int8→bf16 convert
 into the dot's operand load, so no bf16 copy is materialized. The TPU
 counterpart of vLLM's weight-only w8a16 path (SURVEY §2.10 item 3;
 ref third_party vllm quantization role).
+
+int4 (w4a16) quarters the weight traffic: XLA stores `jnp.int4` bit-packed
+(2 values/byte) on TPU. Per-channel scaling is too coarse at 4 bits, so int4
+uses GROUP-wise symmetric scales (GPTQ/AWQ convention: one f32 scale per
+`INT4_GROUP`-sized slice of the contraction dim per output channel); the
+dequant (convert + broadcast-mul) fuses into the dot operand like int8's
+convert does.
 
 Applies to the stacked decoder matmul weights and the LM head; embeddings,
 norms, biases and the router stay bf16 (their reads are negligible and
@@ -41,40 +48,90 @@ def quantize_weight(w: jnp.ndarray, axis: int = -2) -> Tuple[jnp.ndarray, jnp.nd
     return q, jnp.squeeze(scale, axis=axis)
 
 
+# int4 group size along the contraction dim (GPTQ/AWQ convention). Every
+# quantized contraction dim in Qwen2.5 (hidden 2048, mlp 11008) divides it.
+INT4_GROUP = 128
+
+
+@functools.partial(jax.jit, static_argnames=("axis", "group"))
+def quantize_weight_int4(w: jnp.ndarray, axis: int = -2,
+                         group: int = INT4_GROUP
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric group-wise int4: w ≈ q * scale, one f32 scale per `group`
+    contraction elements per output channel. `axis` must be -2 (the
+    contraction dim of every consumer); returns (int4 q same shape as w,
+    f32 scale with the contraction dim reduced to n_groups)."""
+    if axis != -2:
+        raise ValueError("int4 quantization expects contraction axis -2")
+    K = w.shape[-2]
+    group = min(group, K)                        # tiny test models: K < 128
+    if K % group:
+        raise ValueError(f"contraction dim {K} not divisible by group {group}")
+    wf = w.astype(jnp.float32)
+    wg = wf.reshape(*w.shape[:-2], K // group, group, w.shape[-1])
+    amax = jnp.max(jnp.abs(wg), axis=-2, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 7.0
+    q = jnp.clip(jnp.round(wg / scale), -8, 7).astype(jnp.int4)
+    return q.reshape(w.shape), jnp.squeeze(scale, -2)
+
+
+def _matmul_int4(h: jnp.ndarray, q: jnp.ndarray, scale: jnp.ndarray
+                 ) -> jnp.ndarray:
+    """h @ dequant(q, scale) with group-wise scales (group inferred from the
+    scale shape). Written as one plain dot over a dequantized operand so XLA
+    fuses convert+mul into the MXU operand load (same fusion the int8 path
+    relies on) instead of a G-batched matmul."""
+    K, N = q.shape[-2], q.shape[-1]
+    G = scale.shape[-2]
+    wdq = (q.astype(jnp.float32).reshape(*q.shape[:-2], G, K // G, N)
+           * scale[..., :, None, :]).reshape(q.shape).astype(h.dtype)
+    return h @ wdq
+
+
 def matmul_q(h: jnp.ndarray, p: Dict, name: str) -> jnp.ndarray:
-    """h @ p[name], transparently dequantizing int8 weights with their
-    per-output-channel scale (p[f"{name}_scale"])."""
+    """h @ p[name], transparently dequantizing int8 (per-output-channel
+    scale) or int4 (group-wise scale) weights via p[f"{name}_scale"]."""
     w = p[name]
     if w.dtype == jnp.int8:
         y = h @ w.astype(h.dtype)
         return (y * p[name + "_scale"]).astype(h.dtype)
+    if w.dtype == jnp.int4:
+        return _matmul_int4(h, w, p[name + "_scale"])
     return h @ w
 
 
-def quantize_decode_params(params: Dict) -> Dict:
-    """Return a params pytree with decoder matmul stacks + LM head in int8.
+def quantize_decode_params(params: Dict, mode: str = "int8") -> Dict:
+    """Return a params pytree with decoder matmul stacks + LM head quantized
+    (`mode`: "int8" per-output-channel, "int4" group-wise).
 
     The LM head: an untied `lm_head` (H, V) is quantized in place; a tied
     model gets a derived `lm_head_q`/`lm_head_scale` from the embedding rows
     (embed itself stays bf16 so the token-embedding gather is exact)."""
+    if mode not in ("int8", "int4"):
+        raise ValueError(f"quantize_decode_params: unknown mode {mode!r}")
+    quant = quantize_weight if mode == "int8" else quantize_weight_int4
     out = dict(params)
     layers = dict(params["layers"])
     for name in QUANT_KEYS:
         if name in layers:
-            q, s = quantize_weight(layers[name], axis=-2)
+            q, s = quant(layers[name], axis=-2)
             layers[name] = q
             layers[name + "_scale"] = s
     out["layers"] = layers
     if "lm_head" in params:                      # (H, V): out channel = vocab
-        q, s = quantize_weight(params["lm_head"], axis=-2)
+        q, s = quant(params["lm_head"], axis=-2)
         out["lm_head"] = q
         out["lm_head_scale"] = s
-    else:                                        # tied: head = embed.T
+    elif mode == "int8":                         # tied: head = embed.T
         q, s = quantize_weight(params["embed"], axis=-1)   # per vocab row
         # store PRE-TRANSPOSED (H, V): contracting the minor dim of an int8
         # array (a transposed dot) must not appear in the graph
         out["lm_head_q"] = q.T                   # (H, V) int8
         out["lm_head_scale"] = s                 # (V,)
+    else:                                        # tied int4: group along H
+        q, s = quantize_weight_int4(params["embed"].T)     # (H, V), (G, V)
+        out["lm_head_q"] = q
+        out["lm_head_scale"] = s
     return out
 
 
@@ -84,8 +141,12 @@ def head_logits(params: Dict, hidden: jnp.ndarray) -> jnp.ndarray:
     if head is not None:
         if head.dtype == jnp.int8:
             return (hidden @ head.astype(hidden.dtype)) * params["lm_head_scale"]
+        if head.dtype == jnp.int4:
+            return _matmul_int4(hidden, head, params["lm_head_scale"])
         return hidden @ head
     head_q = params.get("lm_head_q")
     if head_q is not None:                       # tied + quantized, (H, V)
+        if head_q.dtype == jnp.int4:
+            return _matmul_int4(hidden, head_q, params["lm_head_scale"])
         return (hidden @ head_q.astype(hidden.dtype)) * params["lm_head_scale"]
     return hidden @ params["embed"].T

@@ -12,7 +12,8 @@ from socioreasoner_tpu.models.qwen2_5_vl import model as qmodel
 from socioreasoner_tpu.generation.engine import DecodeEngine, Request
 from socioreasoner_tpu.generation.sampling import SamplingParams
 from socioreasoner_tpu.ops.quant import (quantize_decode_params,
-                                         quantize_weight)
+                                         quantize_weight,
+                                         quantize_weight_int4)
 
 
 @pytest.fixture(scope="module")
@@ -31,6 +32,22 @@ def test_quantize_weight_roundtrip():
     back = q.astype(jnp.float32) * s[:, None, :]
     # max error <= scale/2 per element (round-to-nearest)
     assert float(jnp.max(jnp.abs(back - w) / s[:, None, :])) <= 0.5 + 1e-6
+
+
+def test_quantize_weight_int4_roundtrip():
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.normal(size=(2, 256, 48)) * 0.02, jnp.float32)
+    q, s = quantize_weight_int4(w, axis=-2)
+    assert q.dtype == jnp.int4 and q.shape == w.shape
+    assert s.shape == (2, 2, 48)                 # 256 / group(128) = 2 groups
+    back = (q.astype(jnp.float32).reshape(2, 2, 128, 48)
+            * s[:, :, None, :]).reshape(w.shape)
+    err = jnp.abs(back - w).reshape(2, 2, 128, 48) / s[:, :, None, :]
+    assert float(jnp.max(err)) <= 0.5 + 1e-6     # round-to-nearest per group
+    # tiny contraction dims collapse to one group
+    q2, s2 = quantize_weight_int4(jnp.asarray(rng.normal(size=(16, 8)),
+                                              jnp.float32))
+    assert q2.shape == (16, 8) and s2.shape == (1, 8)
 
 
 def _cached_logits(config, params, ids):
@@ -52,25 +69,31 @@ def _cached_logits(config, params, ids):
     return np.asarray(logits)
 
 
-def test_quantized_forward_close(setup):
+# int4 bounds are loose: a tiny RANDOM model is quantization's worst case
+# (hidden 64 = one quant group, gaussian weights have no outlier structure);
+# real-model int4-g128 quality must be validated end-to-end (giou) on chip.
+@pytest.mark.parametrize("mode,rel_tol,agree_tol",
+                         [("int8", 0.25, 0.8), ("int4", 1.5, 0.6)])
+def test_quantized_forward_close(setup, mode, rel_tol, agree_tol):
     config, params = setup
     rng = np.random.default_rng(1)
     ids = jnp.asarray(rng.integers(2, 200, size=(2, 12)), jnp.int32)
     full = _cached_logits(config, params, ids)
-    qparams = jax.device_get(quantize_decode_params(params))
-    quant = _cached_logits(config, jax.tree.map(jnp.asarray, qparams), ids)
+    qparams = quantize_decode_params(params, mode=mode)
+    quant = _cached_logits(config, qparams, ids)
     rel = np.abs(quant - full).max() / (np.abs(full).std() + 1e-9)
-    assert rel < 0.25, f"quantized logits diverged: rel={rel:.3f}"
+    assert rel < rel_tol, f"{mode} quantized logits diverged: rel={rel:.3f}"
     # ranking mostly preserved: top-1 agreement on most positions
     agree = (full.argmax(-1) == quant.argmax(-1)).mean()
-    assert agree > 0.8, f"top-1 agreement {agree:.2f}"
+    assert agree > agree_tol, f"{mode} top-1 agreement {agree:.2f}"
 
 
-def test_engine_weight_quant_runs(setup):
+@pytest.mark.parametrize("mode", ["int8", "int4"])
+def test_engine_weight_quant_runs(setup, mode):
     config, params = setup
     engine = DecodeEngine(config, params, max_slots=2, max_len=64,
                           decode_chunk=4, prefill_buckets=(16,),
-                          cache_dtype=jnp.float32, weight_quant="int8")
+                          cache_dtype=jnp.float32, weight_quant=mode)
     rng = np.random.default_rng(3)
     reqs = [Request(request_id=i,
                     prompt_ids=rng.integers(2, 200, size=7).tolist(),
@@ -85,12 +108,13 @@ def test_engine_weight_quant_runs(setup):
 
     # bad knob value rejected
     with pytest.raises(ValueError):
-        DecodeEngine(config, params, weight_quant="int4")
+        DecodeEngine(config, params, weight_quant="fp4")
 
 
-def test_quantized_tied_head(setup):
-    """Tied-embedding models get a derived int8 lm_head_q; embed stays full
-    precision for the gather."""
+@pytest.mark.parametrize("mode,qdtype", [("int8", jnp.int8), ("int4", jnp.int4)])
+def test_quantized_tied_head(setup, mode, qdtype):
+    """Tied-embedding models get a derived quantized lm_head_q; embed stays
+    full precision for the gather."""
     import dataclasses
     config, params = setup
     tcfg = dataclasses.replace(config.text, tie_word_embeddings=True)
@@ -99,9 +123,10 @@ def test_quantized_tied_head(setup):
     rng = np.random.default_rng(2)
     ids = jnp.asarray(rng.integers(2, 200, size=(1, 8)), jnp.int32)
     full = _cached_logits(config_t, params_t, ids)
-    qp = quantize_decode_params(params_t)
-    assert qp["lm_head_q"].dtype == jnp.int8
+    qp = quantize_decode_params(params_t, mode=mode)
+    assert qp["lm_head_q"].dtype == qdtype
     assert qp["embed"].dtype == params_t["embed"].dtype   # gather stays exact
     quant = _cached_logits(config_t, qp, ids)
     rel = np.abs(quant - full).max() / (np.abs(full).std() + 1e-9)
-    assert rel < 0.25, f"tied quantized logits diverged: rel={rel:.3f}"
+    tol = 0.25 if mode == "int8" else 1.5        # see int4 worst-case note
+    assert rel < tol, f"tied {mode} quantized logits diverged: rel={rel:.3f}"
