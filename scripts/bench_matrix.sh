@@ -35,4 +35,9 @@ run_one tiles16 SOCIO_BENCH_TILES=16
 run_one int8w8 SOCIO_BENCH_WEIGHT_QUANT=int8
 # 4. Combined, only reached if both singles passed.
 run_one tiles16_int8w SOCIO_BENCH_TILES=16 SOCIO_BENCH_WEIGHT_QUANT=int8
+# 5. int4 weights (group-128 w4a16): first probe the compiler via the
+#    isolated decode ablation, then the full socioseg phase if it compiled.
+timeout 1500 python scripts/ablate_decode.py int4 > "$OUT/ablate_int4.log" 2>&1 \
+  && run_one int4w8 SOCIO_BENCH_WEIGHT_QUANT=int4
+tail -2 "$OUT/ablate_int4.log" | tee -a "$OUT/summary.txt"
 echo "matrix done $(date -u)" | tee -a "$OUT/summary.txt"

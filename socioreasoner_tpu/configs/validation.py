@@ -36,7 +36,7 @@ _KNOWN: Dict[str, Set[str]] = {
         "kv_quant", "weight_quant", "dp_size", "max_slots", "max_len",
         "decode_chunk", "prefill_buckets", "image_buckets",
         "max_prefill_batch", "sampler_exact", "prefill_batch_sizes",
-        "tensor_model_parallel_size",
+        "tensor_model_parallel_size", "prefix_fork",
     },
     "seg_infer": {"seg_encode_batch", "seg_embed_cache"},
 }

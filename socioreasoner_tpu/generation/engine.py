@@ -37,6 +37,9 @@ from ..models.qwen2_5_vl.rope import make_inv_freq, mrope_channel_axis, mrope_co
 from .sampling import SamplingParams, sample_tokens
 
 
+_MISS = object()                    # sentinel: prompt not yet seen in a group
+
+
 def _bucket(n: int, buckets: Tuple[int, ...]) -> int:
     for b in buckets:
         if n <= b:
@@ -69,6 +72,24 @@ class EngineOutput:
     meta: Optional[Dict] = None
 
 
+@dataclasses.dataclass
+class _PrefixEntry:
+    """A forkable prompt prefix resident in some slot's KV cache.
+
+    Valid while `epoch` matches the slot's assignment epoch: decode only
+    writes cache positions >= P, and a released slot's rows survive until the
+    slot is re-assigned, so an entry can outlive its request. The strong
+    `embeds` ref both anchors the identity comparison (no id() reuse) and
+    keeps the ViT output alive for the comparison's lifetime."""
+    slot: int
+    epoch: int
+    P: int                              # prompt length (cache rows 0..P-1)
+    next_pos: int                       # M-RoPE position AFTER the prompt
+    last_token: int                     # prompt_ids[-1]
+    embeds: Any
+    position_ids: Any
+
+
 class DecodeEngine:
     def __init__(self, config: Qwen25VLConfig, params, *, max_slots: int = 8,
                  max_len: int = 8192, decode_chunk: int = 16,
@@ -83,7 +104,7 @@ class DecodeEngine:
                  max_prefill_batch: Optional[int] = None, seed: int = 0,
                  device=None, sampler_exact: bool = False,
                  prefill_batch_sizes: Optional[Tuple[int, ...]] = None,
-                 mesh=None, tp_axis: str = "tp"):
+                 mesh=None, tp_axis: str = "tp", prefix_fork: bool = True):
         self.config = config
         if weight_quant not in (None, "int8", "int4"):
             raise ValueError(f"weight_quant must be None, 'int8' or 'int4', "
@@ -192,6 +213,17 @@ class DecodeEngine:
         self.free_slots = list(range(self.S))
         self.slot_req: Dict[int, Request] = {}
         self.steps_executed = 0           # diagnostic: total decode steps run
+        # prefix forking: identical prompts (GRPO n-sampling submits the same
+        # prompt n times, ref generate_scheduler per-prompt fan-out) prefill
+        # ONCE; siblings device-copy the leader's KV rows and draw their first
+        # token in the next decode step (exact: it rewrites an identical KV
+        # entry at P-1 and samples from the same last-position logits)
+        self.prefix_fork = prefix_fork
+        self._slot_epoch = np.zeros(self.S, np.int64)
+        self._prefix_registry: Dict[tuple, _PrefixEntry] = {}
+        self._jit_fork = {}
+        self.prefill_rows = 0             # diagnostic: prompts actually prefilled
+        self.forked_requests = 0          # diagnostic: prompts forked instead
 
         self.waiting: List[Request] = []
         self._rng = jax.random.key(seed)
@@ -232,6 +264,9 @@ class DecodeEngine:
         elif self.device is not None:
             params = jax.device_put(params, self.device)
         self.params = params
+        # prefixes cached under the OLD weights must never fork under the new
+        # ones (the drained slots' KV rows are stale the moment weights swap)
+        self._prefix_registry.clear()
         if self.weight_quant:
             from ..ops.quant import quantize_decode_params
             self.params_q = quantize_decode_params(params, mode=self.weight_quant)
@@ -292,8 +327,12 @@ class DecodeEngine:
                 self._admit_group(group, outputs)
             except Exception as e:  # noqa: BLE001 — isolate bad batches
                 for req in group:
-                    if req.slot >= 0 and req.slot in self.slot_req:
-                        self._release(req.slot)
+                    if req.slot >= 0:
+                        # the slot's KV may never have been written — any
+                        # prefix entry registered against it must die
+                        self._slot_epoch[req.slot] += 1
+                        if req.slot in self.slot_req:
+                            self._release(req.slot)
                     self._finish_error(req, e, outputs)
         if self.slot_req:
             outputs.extend(self._decode_chunk())
@@ -317,6 +356,7 @@ class DecodeEngine:
         group: List[Request] = []
         img_total = 0
         key = None
+        seen: Dict = {}                    # in-group fork prediction
         cap = min(len(self.free_slots), self._prefill_batch_buckets[-1])
         while self.waiting and len(group) < cap:
             req = self.waiting[0]
@@ -334,6 +374,21 @@ class DecodeEngine:
                 key = b
             elif b != key:
                 break                      # keep FIFO order; next step() turn
+            # a duplicate of an earlier request in THIS group is guaranteed to
+            # fork (its leader registers in the same admission pass), so its
+            # image rows never enter the prefill — don't count them. The
+            # prediction mirrors _prefix_lookup: same prompt, same embeds
+            # object, equal position_ids.
+            if self.prefix_fork:
+                pkey = (tuple(req.prompt_ids), id(req.image_embeds))
+                lead_pos = seen.get(pkey, _MISS)
+                if lead_pos is not _MISS and (
+                        lead_pos is req.position_ids
+                        or (lead_pos is not None and req.position_ids is not None
+                            and np.array_equal(lead_pos, req.position_ids))):
+                    n_img = 0
+                elif lead_pos is _MISS:
+                    seen[pkey] = req.position_ids
             if group and n_img and img_total + n_img > self.image_buckets[-1]:
                 break
             group.append(self.waiting.pop(0))
@@ -364,7 +419,124 @@ class DecodeEngine:
         return self._prefill_batch_buckets[-1]
 
     def _admit_group(self, reqs: List[Request], outputs: List[EngineOutput]):
-        """One batched prefill for `reqs` (all sharing a prompt bucket).
+        """Admit `reqs`: requests whose prompt prefix is already resident in a
+        slot's KV cache FORK it (device row copy, no prefill); the rest run
+        one batched prefill. Epoch validation happens per lookup, IN ORDER
+        with slot assignment, so an entry whose slot gets reused earlier in
+        this same pass simply falls back to prefill; the in-order fork copies
+        then never read a row written later in the pass."""
+        prefill_reqs: List[Request] = []
+        fork_pairs: List[tuple] = []
+        for req in reqs:
+            entry = self._prefix_lookup(req)
+            slot = self.free_slots.pop(0)
+            self._slot_epoch[slot] += 1
+            req.slot = slot
+            self.slot_req[slot] = req
+            if entry is not None:
+                fork_pairs.append((entry, req))
+            else:
+                self._register_prefix(req, slot)
+                prefill_reqs.append(req)
+        if prefill_reqs:
+            self._prefill_group(prefill_reqs, outputs)
+        if fork_pairs:
+            self._fork_group(fork_pairs)
+
+    # --------------------------------------------------------- prefix forking
+    def _prefix_lookup(self, req: Request) -> Optional[_PrefixEntry]:
+        """A valid resident prefix for `req`, or None. Identity of the embeds
+        object (the pipelines reuse one ViT output across a GRPO group's n
+        siblings) plus prompt equality define a match; position_ids are
+        checked defensively."""
+        if not self.prefix_fork:
+            return None
+        e = self._prefix_registry.get(tuple(req.prompt_ids))
+        if e is None or self._slot_epoch[e.slot] != e.epoch:
+            return None
+        if (e.embeds is None) != (req.image_embeds is None):
+            return None
+        if e.embeds is not None and e.embeds is not req.image_embeds:
+            return None
+        if (e.position_ids is None) != (req.position_ids is None):
+            return None
+        if (e.position_ids is not None and e.position_ids is not req.position_ids
+                and not np.array_equal(e.position_ids, req.position_ids)):
+            return None
+        return e
+
+    def _register_prefix(self, req: Request, slot: int):
+        if not self.prefix_fork or not req.prompt_ids:
+            return
+        last = int(req.prompt_ids[-1])
+        if last in (self.config.image_token_id, self.config.video_token_id):
+            # the fork's first decode step re-embeds the last prompt token by
+            # id; an image position's hidden state came from the ViT scatter
+            # instead, so such a prompt (never produced by our chat templates)
+            # must not be a fork source
+            return
+        P = len(req.prompt_ids)
+        npos = (int(req.position_ids.max()) + 1
+                if req.position_ids is not None else P)
+        self._prefix_registry[tuple(req.prompt_ids)] = _PrefixEntry(
+            slot=slot, epoch=int(self._slot_epoch[slot]), P=P, next_pos=npos,
+            last_token=last, embeds=req.image_embeds,
+            position_ids=req.position_ids)
+        if len(self._prefix_registry) > 2 * self.S:
+            self._prefix_registry = {
+                k: v for k, v in self._prefix_registry.items()
+                if self._slot_epoch[v.slot] == v.epoch}
+
+    def _fork_group(self, fork_pairs: List[tuple]):
+        """Copy each entry's slot row to its fork's slot (ONE jitted call,
+        sequential in-order row copies), and stage the fork so its next decode
+        step rewrites the identical KV entry at P-1 and samples its own first
+        token from the same last-position logits the leader's came from."""
+        srcs, dsts = [], []
+        for e, req in fork_pairs:
+            slot = req.slot
+            self.lengths[slot] = e.P - 1
+            self.next_pos[slot] = e.next_pos - 1
+            self.last_token[slot] = e.last_token
+            srcs.append(e.slot)
+            dsts.append(slot)
+            self.forked_requests += 1
+        Fb = self._fork_bucket(len(srcs))
+        srcs += [0] * (Fb - len(srcs))     # pad: slot0 -> slot0 copy is a no-op
+        dsts += [0] * (Fb - len(dsts))
+        fn = self._get_fork(Fb)
+        self.caches = fn(self.caches, jnp.asarray(np.asarray(srcs, np.int32)),
+                         jnp.asarray(np.asarray(dsts, np.int32)))
+        self._dev_dirty = True
+
+    def _fork_bucket(self, n: int) -> int:
+        for b in (1, 2, 4, 8, 16, 32):
+            if n <= b:
+                return b
+        return n
+
+    def _get_fork(self, F: int):
+        if F not in self._jit_fork:
+            self._jit_fork[F] = jax.jit(self._fork_slots, donate_argnums=(0,))
+        return self._jit_fork[F]
+
+    def _fork_slots(self, caches, srcs, dsts):
+        """Sequential in-place row copies along the slot axis (axis 1 in every
+        cache leaf). Unrolled over the padded fork-bucket length; transient
+        footprint is one slot row, and list-order execution preserves the
+        read-before-overwrite guarantee _admit_group's ordering establishes."""
+        out = dict(caches)
+        for i in range(srcs.shape[0]):
+            for name in caches:
+                row = jax.lax.dynamic_index_in_dim(out[name], srcs[i], axis=1,
+                                                   keepdims=True)
+                out[name] = jax.lax.dynamic_update_slice_in_dim(
+                    out[name], row, dsts[i], axis=1)
+        return out
+
+    def _prefill_group(self, reqs: List[Request], outputs: List[EngineOutput]):
+        """One batched prefill for `reqs` (all sharing a prompt bucket, slots
+        already assigned by _admit_group).
 
         Image embeds are concatenated CONTIGUOUSLY in request order (no
         inter-request padding) — scatter_image_embeds assigns rows by the
@@ -389,11 +561,10 @@ class DecodeEngine:
         next_pos_host = np.zeros(Bp, np.int64)
         imgs = []
         n_img_total = 0
+        self.prefill_rows += B
         for i, req in enumerate(reqs):
             P = len(req.prompt_ids)
-            slot = self.free_slots.pop(0)
-            req.slot = slot
-            self.slot_req[slot] = req
+            slot = req.slot
             ids[i, :P] = req.prompt_ids
             attn[i, :P] = 1
             slots[i] = slot

@@ -93,6 +93,10 @@ def default_engine_kwargs(cfg: SocioSegConfig) -> Dict:
     if sc.get("sampler_exact"):
         # exact lax.top_k candidate selection for parity/eval runs
         kwargs["sampler_exact"] = True
+    if sc.get("prefix_fork") is not None:
+        # identical-prompt KV forking (GRPO n-sampling prefills once); on by
+        # default — the knob exists to disable it for ablation/parity runs
+        kwargs["prefix_fork"] = bool(sc["prefix_fork"])
     return kwargs
 
 

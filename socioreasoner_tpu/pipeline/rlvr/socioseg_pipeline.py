@@ -396,10 +396,14 @@ class SocioSegPipeline(BasePipeline):
                 image_config=self.processor.image_config)
             for i in range(B):
                 valid = attn1[i] == 1
+                # route ALL n siblings of a prompt to ONE worker: the engine's
+                # prefix fork then prefills the shared prompt once and forks
+                # the KV for the other n-1 (load stays balanced at prompt
+                # granularity)
+                w = int(np.argmin(loads))
+                loads[w] += n
                 for j in range(n):
                     k = i * n + j
-                    w = int(np.argmin(loads))
-                    loads[w] += 1
                     workers[w].add_request(GRT.ADD, {
                         "request_id": ("s1", k, w),
                         "prompt_ids": ids1[i][valid].tolist(),

@@ -81,7 +81,11 @@ def test_engine_chunk_early_exit(setup):
     config, params = setup
     engine = DecodeEngine(config, params, max_slots=2, max_len=128,
                           decode_chunk=64, prefill_buckets=(16,),
-                          cache_dtype=jnp.float32)
+                          cache_dtype=jnp.float32,
+                          # the stop_req below reuses prompts[0]; a prefix
+                          # fork would draw its token via one decode step and
+                          # break the steps_executed accounting asserted here
+                          prefix_fork=False)
     rng = np.random.default_rng(3)
     prompts = [rng.integers(2, 200, size=6).tolist() for _ in range(2)]
     reqs = [Request(request_id=i, prompt_ids=p, sampling=greedy_params(3))
