@@ -116,7 +116,15 @@ def compute_image_embeds(config: Qwen25VLConfig, params, pixel_values: np.ndarra
 def batch_image_embeds(config: Qwen25VLConfig, params, batch: BatchProto,
                        prefix: str = "", image_config=None
                        ) -> List[Optional[np.ndarray]]:
-    out = []
+    """Per-sample merged ViT embeddings for every sample in `batch`.
+
+    All samples' images are PACKED into ONE vision-tower dispatch and the
+    output rows split back per sample: the tower's segmented window/full
+    attention already isolates images from each other, so packing is
+    numerically the per-image computation — but B sequential jit dispatches
+    (each a host→device round trip through the axon relay) collapse to one.
+    """
+    out: List[Optional[np.ndarray]] = [None] * len(batch)
     pv_col = batch.non_tensor.get(f"{prefix}pixel_values")
     u8_col = batch.non_tensor.get(f"{prefix}pixel_u8")
     grid_col = batch.non_tensor.get(f"{prefix}grid_thw")
@@ -128,17 +136,37 @@ def batch_image_embeds(config: Qwen25VLConfig, params, batch: BatchProto,
         raise ValueError(
             "batch_image_embeds: pixel_u8 columns present but image_config "
             "is None — pass the processor's ImageProcessorConfig")
+    mu = config.vision.spatial_merge_unit
+    u8_idx, u8_imgs, u8_grids, u8_lens = [], [], [], []
+    pv_idx, pv_vals, pv_grids, pv_lens = [], [], [], []
     for i in range(len(batch)):
         u8 = u8_col[i] if u8_col is not None else None
         pv = pv_col[i] if pv_col is not None else None
+        grid = grid_col[i] if grid_col is not None else None
         if u8 is not None:                 # defer_patchify: uint8 → device
-            from ..models.qwen2_5_vl.vision import run_vision_u8
-            out.append(run_vision_u8(config.vision, params["vision"], u8,
-                                     grid_col[i], image_config))
-        elif pv is None:
-            out.append(None)
-        else:
-            out.append(compute_image_embeds(config, params, pv, grid_col[i]))
+            u8_idx.append(i)
+            u8_imgs.extend(u8)
+            u8_grids.append(np.atleast_2d(np.asarray(grid)))
+            u8_lens.append(int(np.prod(grid, axis=-1).sum()) // mu)
+        elif pv is not None:
+            pv_idx.append(i)
+            pv_vals.append(np.asarray(pv))
+            pv_grids.append(np.atleast_2d(np.asarray(grid)))
+            pv_lens.append(int(np.prod(grid, axis=-1).sum()) // mu)
+    if u8_imgs:
+        from ..models.qwen2_5_vl.vision import run_vision_u8
+        emb = run_vision_u8(config.vision, params["vision"], u8_imgs,
+                            np.concatenate(u8_grids, axis=0), image_config)
+        offs = np.cumsum([0] + u8_lens)
+        for k, i in enumerate(u8_idx):
+            out[i] = emb[offs[k]:offs[k + 1]]
+    if pv_vals:
+        emb = compute_image_embeds(config, params,
+                                   np.concatenate(pv_vals, axis=0),
+                                   np.concatenate(pv_grids, axis=0))
+        offs = np.cumsum([0] + pv_lens)
+        for k, i in enumerate(pv_idx):
+            out[i] = emb[offs[k]:offs[k + 1]]
     return out
 
 

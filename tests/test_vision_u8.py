@@ -66,3 +66,40 @@ def test_run_vision_u8_matches_run_vision():
     got = np.asarray(run_vision_u8(vcfg, params["vision"], u8s,
                                    host["image_grid_thw"], cfg))
     np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_batch_image_embeds_packed_matches_per_sample():
+    """batch_image_embeds packs all samples into one tower dispatch; outputs
+    must match per-sample run_vision_u8 calls (segmented attention isolates
+    images, so packing is numerically the per-image computation)."""
+    from socioreasoner_tpu.distributed.jax_strategies import batch_image_embeds
+    from socioreasoner_tpu.protocol import BatchProto
+
+    cfg = ImageProcessorConfig(min_pixels=56 * 56, max_pixels=56 * 56 * 16,
+                               defer_patchify=True)
+    model_config = Qwen25VLConfig.tiny()
+    params = qmodel.init_params(model_config, jax.random.key(3),
+                                dtype=jnp.float32, with_vision=True)
+    rng = np.random.default_rng(5)
+    # 3 samples: 2 images / none / 1 image (mixed sizes)
+    sample_imgs = [[_img(rng), _img(rng, 68, 96)], None, [_img(rng, 68, 68)]]
+    u8_col, grid_col = [], []
+    for imgs in sample_imgs:
+        if imgs is None:
+            u8_col.append(None)
+            grid_col.append(None)
+        else:
+            out = process_images(imgs, cfg)
+            u8_col.append(out["pixel_u8"])
+            grid_col.append(out["image_grid_thw"])
+    batch = BatchProto.from_dict(
+        tensors={"input_ids": np.zeros((3, 4), np.int64)},
+        non_tensors={"pixel_u8": np.array(u8_col + [0], object)[:3],
+                     "grid_thw": np.array(grid_col + [0], object)[:3]})
+    got = batch_image_embeds(model_config, params, batch, image_config=cfg)
+    assert got[1] is None
+    for i in (0, 2):
+        ref = np.asarray(run_vision_u8(model_config.vision, params["vision"],
+                                       u8_col[i], grid_col[i], cfg))
+        np.testing.assert_allclose(np.asarray(got[i]), ref,
+                                   atol=2e-5, rtol=2e-5)
