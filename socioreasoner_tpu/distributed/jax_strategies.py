@@ -128,6 +128,21 @@ def batch_image_embeds(config: Qwen25VLConfig, params, batch: BatchProto,
     pv_col = batch.non_tensor.get(f"{prefix}pixel_values")
     u8_col = batch.non_tensor.get(f"{prefix}pixel_u8")
     grid_col = batch.non_tensor.get(f"{prefix}grid_thw")
+    if os.environ.get("SOCIO_PACK_EMBEDS", "1") == "0":
+        # escape hatch: per-sample dispatch (the pre-packing behavior), for
+        # on-chip ablation or if a packed geometry misbehaves on real hardware
+        for i in range(len(batch)):
+            u8 = u8_col[i] if u8_col is not None else None
+            pv = pv_col[i] if pv_col is not None else None
+            if u8 is not None:
+                if image_config is None:
+                    raise ValueError("pixel_u8 requires image_config")
+                from ..models.qwen2_5_vl.vision import run_vision_u8
+                out[i] = run_vision_u8(config.vision, params["vision"], u8,
+                                       grid_col[i], image_config)
+            elif pv is not None:
+                out[i] = compute_image_embeds(config, params, pv, grid_col[i])
+        return out
     if u8_col is not None and image_config is None and any(
             u is not None for u in u8_col):
         # device patchify normalizes with the processor's mean/std and
