@@ -105,11 +105,14 @@ class GenerateScheduler:
             pos = None
             if "position_ids" in batch.batch:
                 pos = np.asarray(batch.batch["position_ids"][i])[:, valid]
+            # least-loaded worker (ref get_available_dp_rank :180), chosen
+            # ONCE per prompt: all n siblings go to one worker so the engine's
+            # prefix fork prefills the shared prompt once (load still balances
+            # at prompt granularity — every prompt carries the same n)
+            with lock:
+                w = int(np.argmin(loads))
+                loads[w] += n
             for j in range(n):
-                # least-loaded worker (ref get_available_dp_rank :180)
-                with lock:
-                    w = int(np.argmin(loads))
-                    loads[w] += 1
                 rid = (i, j, w)
                 with lock:
                     inflight[rid] = i
@@ -322,10 +325,13 @@ class DynamicSamplingScheduler:
                         stats["max_inflight_prompts"] = max(
                             stats["max_inflight_prompts"], len(groups))
                         rids = []
+                        # one worker per prompt group: siblings share the
+                        # prefill via the engine's prefix fork (see
+                        # GenerateScheduler); `least` already points at the
+                        # least-loaded worker from the flow-control check
+                        loads[least] += n
                         for j in range(n):
-                            w = int(np.argmin(loads))
-                            loads[w] += 1
-                            rid = (gid, j, w)
+                            rid = (gid, j, least)
                             g["pending"].add(rid)
                             rids.append(rid)
                     for rid in rids:
