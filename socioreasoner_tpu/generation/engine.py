@@ -423,10 +423,19 @@ class DecodeEngine:
         slot's KV cache FORK it (device row copy, no prefill); the rest run
         one batched prefill. Epoch validation happens per lookup, IN ORDER
         with slot assignment, so an entry whose slot gets reused earlier in
-        this same pass simply falls back to prefill; the in-order fork copies
-        then never read a row written later in the pass."""
+        this same pass simply falls back to prefill.
+
+        Copy ordering: a fork source that was RESIDENT before this pass must
+        be copied BEFORE the prefill runs — the source slot may be handed to
+        a prefill request later in this very pass, whose prefill would
+        overwrite the leader's rows. A fork whose leader prefills in THIS
+        pass must copy AFTER. The two groups are disjoint by construction
+        (`pass_slots`), and no fork source can be another fork's destination
+        (destinations get fresh epochs, which invalidates their entries)."""
         prefill_reqs: List[Request] = []
-        fork_pairs: List[tuple] = []
+        pre_pairs: List[tuple] = []        # source resident before this pass
+        post_pairs: List[tuple] = []       # source prefilled in this pass
+        pass_slots = set()
         for req in reqs:
             entry = self._prefix_lookup(req)
             slot = self.free_slots.pop(0)
@@ -434,14 +443,18 @@ class DecodeEngine:
             req.slot = slot
             self.slot_req[slot] = req
             if entry is not None:
-                fork_pairs.append((entry, req))
+                (post_pairs if entry.slot in pass_slots
+                 else pre_pairs).append((entry, req))
             else:
                 self._register_prefix(req, slot)
                 prefill_reqs.append(req)
+                pass_slots.add(slot)
+        if pre_pairs:
+            self._fork_group(pre_pairs)
         if prefill_reqs:
             self._prefill_group(prefill_reqs, outputs)
-        if fork_pairs:
-            self._fork_group(fork_pairs)
+        if post_pairs:
+            self._fork_group(post_pairs)
 
     # --------------------------------------------------------- prefix forking
     def _prefix_lookup(self, req: Request) -> Optional[_PrefixEntry]:

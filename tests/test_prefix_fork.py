@@ -206,3 +206,31 @@ def test_pipeline_rollout_fork_hits(tmp_path):
     # prompts differ per sibling (rendered masks), so only stage 1 forks
     assert eng.forked_requests >= 2
     assert eng.prefill_rows < eng.forked_requests + eng.prefill_rows
+
+
+def test_fork_source_slot_reassigned_same_pass(setup):
+    """A fork whose SOURCE slot is handed to a prefill request in the same
+    admission pass must still copy the leader's rows, not the new request's:
+    leader X releases slot 0, then [A(=X's prompt), B] admit together — A
+    forks from slot 0 while B prefills INTO slot 0."""
+    config, params = setup
+    rng = np.random.default_rng(9)
+    p1 = rng.integers(2, 200, size=7).tolist()
+    p2 = rng.integers(2, 200, size=9).tolist()
+
+    ref_eng = _engine(config, params, fork=False)
+    ref = ref_eng.generate([Request(request_id="a", prompt_ids=list(p1),
+                                    sampling=_greedy(6))])[0]
+
+    eng = _engine(config, params, fork=True, max_slots=2)
+    eng.generate([Request(request_id="x", prompt_ids=list(p1),
+                          sampling=_greedy(6))])
+    # slot 0 (X's) is free but still holds the p1 prefix; free order [1, 0]
+    assert eng.free_slots == [1, 0]
+    outs = eng.generate([
+        Request(request_id="A", prompt_ids=list(p1), sampling=_greedy(6)),
+        Request(request_id="B", prompt_ids=list(p2), sampling=_greedy(6)),
+    ])
+    assert eng.forked_requests == 1
+    a = next(o for o in outs if o.request_id == "A")
+    assert a.output_ids == ref.output_ids, (a.output_ids, ref.output_ids)
