@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import dataclasses
 import time
+import weakref
 from typing import Any, Callable, Dict, List, Optional, Tuple
 
 import numpy as np
@@ -78,15 +79,17 @@ class _PrefixEntry:
 
     Valid while `epoch` matches the slot's assignment epoch: decode only
     writes cache positions >= P, and a released slot's rows survive until the
-    slot is re-assigned, so an entry can outlive its request. The strong
-    `embeds` ref both anchors the identity comparison (no id() reuse) and
-    keeps the ViT output alive for the comparison's lifetime."""
+    slot is re-assigned, so an entry can outlive its request. `embeds` is a
+    WEAK ref: if the pipeline drops its ViT output, the entry dies with it
+    (a dead ref can't fork — and a strong ref would pin ~6 MB of HBM per
+    entry long after the request finished). While the referent lives, the
+    identity comparison is sound (no id() reuse)."""
     slot: int
     epoch: int
     P: int                              # prompt length (cache rows 0..P-1)
     next_pos: int                       # M-RoPE position AFTER the prompt
     last_token: int                     # prompt_ids[-1]
-    embeds: Any
+    embeds: Any                         # weakref.ref | None
     position_ids: Any
 
 
@@ -467,9 +470,12 @@ class DecodeEngine:
         e = self._prefix_registry.get(tuple(req.prompt_ids))
         if e is None or self._slot_epoch[e.slot] != e.epoch:
             return None
-        if (e.embeds is None) != (req.image_embeds is None):
+        lead_embeds = e.embeds() if e.embeds is not None else None
+        if e.embeds is not None and lead_embeds is None:
+            return None                      # referent freed → entry dead
+        if (lead_embeds is None) != (req.image_embeds is None):
             return None
-        if e.embeds is not None and e.embeds is not req.image_embeds:
+        if lead_embeds is not None and lead_embeds is not req.image_embeds:
             return None
         if (e.position_ids is None) != (req.position_ids is None):
             return None
@@ -493,7 +499,9 @@ class DecodeEngine:
                 if req.position_ids is not None else P)
         self._prefix_registry[tuple(req.prompt_ids)] = _PrefixEntry(
             slot=slot, epoch=int(self._slot_epoch[slot]), P=P, next_pos=npos,
-            last_token=last, embeds=req.image_embeds,
+            last_token=last,
+            embeds=(None if req.image_embeds is None
+                    else weakref.ref(req.image_embeds)),
             position_ids=req.position_ids)
         if len(self._prefix_registry) > 2 * self.S:
             self._prefix_registry = {

@@ -159,6 +159,7 @@ class RLVRPipeline(BasePipeline):
             self.actor_infer.model_update()
 
             sched_rewards = None
+            t_gen = time.perf_counter()
             if self.sampler is not None:
                 # concurrent streaming rollout with filters + flow control;
                 # rewards arrive per group as decoding continues
@@ -180,6 +181,7 @@ class RLVRPipeline(BasePipeline):
                 with mm.timer("generate"):
                     seqs = self.actor_infer.generate(
                         batch, cfg.actor_infer.generating_args)
+            gen_time = time.perf_counter() - t_gen
             post = fn.postprocess_generate(
                 input_ids=np.asarray(batch.batch["input_ids"]),
                 attention_mask=np.asarray(batch.batch["attention_mask"]),
@@ -188,6 +190,10 @@ class RLVRPipeline(BasePipeline):
                 sequence_length=cfg.sequence_length,
                 eos_token_id=self.model_config.eos_token_id,
                 pad_token_id=self.model_config.pad_token_id)
+            # system/actor_infer/tps* (ref rlvr_pipeline throughput metrics)
+            mm.add_token_throughput(
+                "actor_infer/", int(np.asarray(post["response_mask"]).sum()),
+                gen_time)
             texts = self._decode(post)
             expanded = batch.repeat(n)
 
@@ -270,11 +276,17 @@ class RLVRPipeline(BasePipeline):
             train_batch.batch["response_mask"] = np.concatenate(
                 [train_batch.batch["response_mask"][:, :1], final_mask], axis=1)
 
+            total_tokens = int(np.asarray(
+                train_batch.batch["attention_mask"]).sum())
+            t_train = time.perf_counter()
             with mm.timer("train"):
                 metrics = self.actor_train.train_step(train_batch)
+            mm.add_token_throughput("actor_train/", total_tokens,
+                                    time.perf_counter() - t_train)
             metrics["critic/kl"] = float(cur_kl)
             metrics["critic/reward_mean"] = float(rewards.mean())
             metrics["critic/score_mean"] = float(scores.mean())
+            mm.add_token_throughput("", total_tokens, time.perf_counter() - t0)
             mm.add_time("step", time.perf_counter() - t0)
             last = {**mm.reduce(), **metrics}
             self.log_metrics(last, step)

@@ -184,7 +184,9 @@ class SocioSegPipeline(BasePipeline):
             # servers so host restage work (SAM/render/re-tokenize/ViT) runs
             # while other samples still decode (SURVEY §7 hard part (e));
             # overlap_restage: false keeps the step-by-step reference order.
+            t_ro = time.perf_counter()
             ro = self._rollout(rows, batch, rollout_params, mm)
+            rollout_time = time.perf_counter() - t_ro
             map_post = fn.postprocess_generate(
                 input_ids=np.asarray(batch.batch["map_input_ids"]),
                 attention_mask=np.asarray(batch.batch["map_attention_mask"]),
@@ -205,6 +207,12 @@ class SocioSegPipeline(BasePipeline):
                 eos_token_id=self.model_config.eos_token_id,
                 pad_token_id=self.model_config.pad_token_id)
             sat_texts, sat_masks = ro["sat_texts"], ro["sat_masks"]
+            # system/actor_infer/tps* (ref rlvr_socioseg_vlm_pipeline.py:1100):
+            # generated tokens over the whole two-stage rollout
+            gen_tokens = int(np.asarray(map_post["response_mask"]).sum()
+                             + np.asarray(sat_post["response_mask"]).sum())
+            mm.add_token_throughput("actor_infer/", gen_tokens, rollout_time,
+                                    dp_size=len(self.decode_replicas))
 
             # build train batches (canonical keys + packed image embeds)
             map_train = self._train_batch(map_post, ro["embeds"], repeat=n)
@@ -226,6 +234,9 @@ class SocioSegPipeline(BasePipeline):
 
             # 11/12 ---- advantage + train per stage
             metrics_all: Dict[str, float] = {}
+            total_tokens = int(np.asarray(map_train.batch["attention_mask"]).sum()
+                               + np.asarray(sat_train.batch["attention_mask"]).sum())
+            t_train = time.perf_counter()
             for name, train_batch, rw, old_lp, ref_lp in (
                     ("map", map_train, rewards["map_response_level_rewards"],
                      map_old, map_ref),
@@ -233,11 +244,12 @@ class SocioSegPipeline(BasePipeline):
                      sat_old, sat_ref)):
                 m = self._train_stage(train_batch, rw, old_lp, ref_lp, n)
                 metrics_all.update({f"{name}/{k}": v for k, v in m.items()})
+            # system/actor_train/tps* (ref :1104)
+            mm.add_token_throughput("actor_train/", total_tokens,
+                                    time.perf_counter() - t_train)
 
             # 13 ---- metrics / checkpoint
             step_time = time.perf_counter() - t_step
-            total_tokens = int(np.asarray(map_train.batch["attention_mask"]).sum()
-                               + np.asarray(sat_train.batch["attention_mask"]).sum())
             mm.add_token_throughput("", total_tokens, step_time)
             mm.add_time("step", step_time)
             # validation every eval_steps (ref val_multi :1165 → val_iou/mean)

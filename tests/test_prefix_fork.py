@@ -234,3 +234,31 @@ def test_fork_source_slot_reassigned_same_pass(setup):
     assert eng.forked_requests == 1
     a = next(o for o in outs if o.request_id == "A")
     assert a.output_ids == ref.output_ids, (a.output_ids, ref.output_ids)
+
+
+def test_fork_entry_dies_with_freed_embeds(setup):
+    """The registry holds embeds WEAKLY: once the pipeline drops the ViT
+    output, the entry must stop forking (and must not pin the array)."""
+    import gc
+
+    config, params = setup
+    rng = np.random.default_rng(12)
+    prompt = rng.integers(2, 200, size=7).tolist()
+    n_img = 4
+    embeds = jnp.asarray(
+        rng.standard_normal((n_img, config.text.hidden_size)), jnp.float32)
+    ids = list(prompt[:3]) + [config.image_token_id] * n_img + list(prompt[3:])
+    eng = _engine(config, params, fork=True, image_buckets=(0, 8))
+    eng.generate([Request(request_id="a", prompt_ids=list(ids),
+                          sampling=_greedy(3), image_embeds=embeds)])
+    (entry,) = eng._prefix_registry.values()
+    assert entry.embeds() is embeds
+    del embeds
+    gc.collect()
+    assert entry.embeds() is None
+    # same ids with a NEW embeds object: must prefill, not fork
+    embeds2 = jnp.asarray(
+        rng.standard_normal((n_img, config.text.hidden_size)), jnp.float32)
+    eng.generate([Request(request_id="b", prompt_ids=list(ids),
+                          sampling=_greedy(3), image_embeds=embeds2)])
+    assert eng.forked_requests == 0 and eng.prefill_rows == 2
