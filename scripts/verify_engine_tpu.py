@@ -89,6 +89,18 @@ def main():
     assert failures == 0, f"{failures} non-tie divergence(s)"
     print("OK: engine greedy == naive forward on TPU (ties excluded)")
 
+    # ---- prefix fork on the real chip: duplicates of prompt 0 must fork
+    # (device KV row copy) and reproduce the leader's greedy tokens exactly
+    fouts = engine.generate([
+        Request(request_id=("f", j), prompt_ids=list(prompts[0]), sampling=sp)
+        for j in range(2)])
+    assert engine.forked_requests >= 1, "no fork happened on the duplicates"
+    for o in fouts:
+        assert list(o.output_ids) == list(outs[0].output_ids), (
+            o.output_ids, outs[0].output_ids)
+    print(f"OK: prefix fork on TPU (forked_requests={engine.forked_requests}) "
+          "matches the leader's greedy tokens")
+
 
 if __name__ == "__main__":
     main()

@@ -262,3 +262,51 @@ def test_fork_entry_dies_with_freed_embeds(setup):
     eng.generate([Request(request_id="b", prompt_ids=list(ids),
                           sampling=_greedy(3), image_embeds=embeds2)])
     assert eng.forked_requests == 0 and eng.prefill_rows == 2
+
+
+def test_scheduler_routes_siblings_to_one_worker(setup):
+    """GenerateScheduler level 1 with 2 DP workers and n=2: each prompt's
+    siblings land on ONE worker (fork per prompt), both workers get work."""
+    from socioreasoner_tpu.distributed.jax_strategies import JaxDecodeStrategy
+    from socioreasoner_tpu.runtime.generate_scheduler import GenerateScheduler
+    from socioreasoner_tpu.protocol import BatchProto
+
+    config, params = setup
+    kw = dict(max_slots=4, max_len=64, decode_chunk=4, prefill_buckets=(16,),
+              cache_dtype=jnp.float32)
+    workers = []
+    for _ in range(2):
+        s = JaxDecodeStrategy()
+        s.initialize(config, params, engine_kwargs=kw)
+        workers.append(s)
+
+    class G:
+        num_return_sequences = 2
+        max_new_tokens = 4
+        do_sample = False
+        temperature = 0.0
+        top_p = 1.0
+        top_k = 0
+
+    class Cluster:
+        def __init__(self, ws):
+            self.workers = ws
+
+        def start_server(self):
+            for w in self.workers:
+                w.start_server()
+
+        def stop_server(self):
+            for w in self.workers:
+                w.stop_server()
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(2, 200, size=(4, 9)).astype(np.int64)
+    batch = BatchProto.from_dict(tensors={
+        "input_ids": ids, "attention_mask": np.ones((4, 9), np.int64)})
+    out = GenerateScheduler(Cluster(workers)).generate(batch, G(), opt_level=1)
+    assert np.asarray(out.batch["output"]).shape[0] == 8
+    assert sum(w.engine.forked_requests for w in workers) == 4
+    assert sum(w.engine.prefill_rows for w in workers) == 4
+    assert all(w.engine.prefill_rows + w.engine.forked_requests
+               for w in workers)          # both workers actually served
