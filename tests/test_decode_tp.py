@@ -177,3 +177,25 @@ def test_validate_config_decode_tp(tmp_path):
     cfg.actor_infer.strategy_args.strategy_config = {
         "tensor_model_parallel_size": 2}
     validate_config(cfg, n_devices=8)
+
+
+def test_engine_tp_prefix_fork(setup):
+    """Identical prompts under tp=2: the sibling must FORK (KV row copy on
+    the head-sharded cache, no collective) and match the unsharded engine."""
+    config, params = setup
+    kw = dict(max_slots=2, max_len=64, decode_chunk=4,
+              prefill_buckets=(16, 32), cache_dtype=jnp.float32)
+    rng = np.random.default_rng(2)
+    prompt = rng.integers(2, 200, size=7).tolist()
+    reqs = lambda: [Request(request_id=i, prompt_ids=list(prompt),
+                            sampling=_greedy(6)) for i in range(2)]
+
+    plain = DecodeEngine(config, params, prefix_fork=False, **kw)
+    ref = plain.generate(reqs())
+
+    eng = DecodeEngine(config, params, mesh=_mesh_tp2(), **kw)
+    outs = eng.generate(reqs())
+    assert eng.forked_requests == 1 and eng.prefill_rows == 1
+    assert eng.caches["k"].sharding.spec[3] == "tp"
+    for o, r in zip(outs, ref):
+        assert o.output_ids == r.output_ids, (o.output_ids, r.output_ids)
