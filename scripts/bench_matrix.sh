@@ -29,6 +29,8 @@ EOF
 
 # 1. Confirm HEAD completes at the shipped default (8 tiles, bf16).
 run_one base8 || exit 1
+# 1b. Ablate the packed ViT embed dispatch (per-sample fallback) to price it.
+run_one base8_nopack SOCIO_PACK_EMBEDS=0
 # 2. Scale slots: 16 tiles (est ~12 GB HBM; 24 OOMed in r2 — do NOT try 24).
 run_one tiles16 SOCIO_BENCH_TILES=16
 # 3. int8 weights at 8 tiles (decode 11.7 -> 7.3 ms/step in isolation).
