@@ -253,6 +253,11 @@ class SocioSegInferPipeline(BasePipeline):
         finally:
             for w in workers:
                 w.stop_server()
+        for k, w in enumerate(workers):
+            e = getattr(w, "engine", None)
+            if e is not None:
+                _ev(f"engine[{k}] stats: decode_steps={e.steps_executed} "
+                    f"prefills={e.prefill_rows} forks={e.forked_requests}")
 
         return {"map_texts": map_texts, "sat_texts": sat_texts,
                 "s1_masks": s1_masks, "s2_masks": s2_masks,
@@ -332,36 +337,74 @@ class SocioSegInferPipeline(BasePipeline):
         gious: List[float] = []
         mm = self.metrics
 
-        bs = cfg.rollout_batch_size
-        for start in range(0, len(self.dataset), bs):
-            rows = self.dataset[start:start + bs]
-            with mm.timer("two_stage"):
-                out = self._two_stage(rows)
-            map_texts, sat_texts = out["map_texts"], out["sat_texts"]
-            s1_masks, s2_masks = out["s1_masks"], out["s2_masks"]
-            s2_images = out["s2_images"]
+        # result dumps (4 PNGs + 2 txt per tile, ref :870-913) run on a writer
+        # thread so the device starts the next chunk's two-stage immediately;
+        # giou is computed inline (cheap) to keep `gious` ordered
+        import queue as _q
+        import threading
 
-            # ---------------- metrics + dumps (ref :870-913)
-            for i, row in enumerate(rows):
-                gt = np.asarray(row["gt_mask"].convert("L")
-                                if hasattr(row["gt_mask"], "convert")
-                                else row["gt_mask"])
-                gt = np.asarray(Image.fromarray(gt).resize((768, 768),
-                                                           Image.Resampling.NEAREST))
-                giou = mask_iou(s2_masks[i], gt > 0, empty_value=1.0)
-                gious.append(giou)
-                tile = str(row.get("id", start + i))
-                Image.fromarray(s1_masks[i] * 255).save(
+        dump_q: "_q.Queue" = _q.Queue()
+        dump_err: List[BaseException] = []
+
+        def _writer():
+            while True:
+                job = dump_q.get()
+                if job is None:
+                    return
+                try:
+                    job()
+                except BaseException as e:  # noqa: BLE001 — surfaced at join
+                    dump_err.append(e)
+
+        writer = threading.Thread(target=_writer, daemon=True)
+        writer.start()
+
+        def _dump_tile(tile, s1m, s2m, renders, mtxt, stxt):
+            def job():
+                Image.fromarray(s1m * 255).save(
                     os.path.join(self.result_dir, "stage1", f"{tile}.png"))
-                Image.fromarray(s2_masks[i] * 255).save(
+                Image.fromarray(s2m * 255).save(
                     os.path.join(self.result_dir, "stage2", f"{tile}.png"))
-                s2_images[i][0].save(os.path.join(self.result_dir, "render1", f"{tile}.png"))
-                s2_images[i][1].save(os.path.join(self.result_dir, "render2", f"{tile}.png"))
-                with open(os.path.join(self.result_dir, "stage1", f"{tile}.txt"), "w") as f:
-                    f.write(map_texts[i])
-                with open(os.path.join(self.result_dir, "stage2", f"{tile}.txt"), "w") as f:
-                    f.write(sat_texts[i])
-            self.log_metrics(mm.reduce(), start // bs)
+                renders[0].save(
+                    os.path.join(self.result_dir, "render1", f"{tile}.png"))
+                renders[1].save(
+                    os.path.join(self.result_dir, "render2", f"{tile}.png"))
+                with open(os.path.join(self.result_dir, "stage1",
+                                       f"{tile}.txt"), "w") as f:
+                    f.write(mtxt)
+                with open(os.path.join(self.result_dir, "stage2",
+                                       f"{tile}.txt"), "w") as f:
+                    f.write(stxt)
+            dump_q.put(job)
+
+        bs = cfg.rollout_batch_size
+        try:
+            for start in range(0, len(self.dataset), bs):
+                rows = self.dataset[start:start + bs]
+                with mm.timer("two_stage"):
+                    out = self._two_stage(rows)
+                map_texts, sat_texts = out["map_texts"], out["sat_texts"]
+                s1_masks, s2_masks = out["s1_masks"], out["s2_masks"]
+                s2_images = out["s2_images"]
+
+                # ---------------- metrics + dumps (ref :870-913)
+                for i, row in enumerate(rows):
+                    gt = np.asarray(row["gt_mask"].convert("L")
+                                    if hasattr(row["gt_mask"], "convert")
+                                    else row["gt_mask"])
+                    gt = np.asarray(Image.fromarray(gt).resize(
+                        (768, 768), Image.Resampling.NEAREST))
+                    giou = mask_iou(s2_masks[i], gt > 0, empty_value=1.0)
+                    gious.append(giou)
+                    _dump_tile(str(row.get("id", start + i)), s1_masks[i],
+                               s2_masks[i], s2_images[i], map_texts[i],
+                               sat_texts[i])
+                self.log_metrics(mm.reduce(), start // bs)
+        finally:
+            dump_q.put(None)
+            writer.join()
+        if dump_err:
+            raise dump_err[0]
 
         giou_acc = float(np.mean(gious)) if gious else 0.0
         with open(os.path.join(self.result_dir, "iou_acc.txt"), "w") as f:
