@@ -605,6 +605,15 @@ class DecodeEngine:
                 n_img_total += req.image_embeds.shape[0]
 
         img_bucket = _bucket(n_img_total, self.image_buckets) if n_img_total else 0
+        # embeds computed OUTSIDE the engine (e.g. ViT on the train mesh) may
+        # be committed to other devices; a pinned/TP engine must re-home them
+        # or the prefill jit rejects the mixed-device args (the transfer is
+        # the explicit train→decode hand-off on a disaggregated deployment)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            _target = NamedSharding(self.mesh, P())
+        else:
+            _target = self.device           # None → default single device
         if not img_bucket:
             img = None
         elif any(not isinstance(e, np.ndarray) for e in imgs):
@@ -612,8 +621,12 @@ class DecodeEngine:
             # table with dynamic_update_slice — no host round-trip
             img = jnp.zeros((img_bucket, self.config.text.hidden_size),
                             self._embed_dtype)
+            if _target is not None:
+                img = jax.device_put(img, _target)
             off = 0
             for e in imgs:
+                if _target is not None and not isinstance(e, np.ndarray):
+                    e = jax.device_put(e, _target)
                 img = jax.lax.dynamic_update_slice(
                     img, jnp.asarray(e, self._embed_dtype), (off, 0))
                 off += int(e.shape[0])
@@ -621,11 +634,8 @@ class DecodeEngine:
             img = np.zeros((img_bucket, self.config.text.hidden_size), np.float32)
             img[:n_img_total] = np.concatenate(imgs, axis=0)
             img = jnp.asarray(img, self._embed_dtype)
-        if img is not None and self.mesh is not None:
-            # embeds computed outside the engine may be committed to another
-            # device — replicate onto the TP mesh before the sharded prefill
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            img = jax.device_put(img, NamedSharding(self.mesh, P()))
+            if _target is not None:
+                img = jax.device_put(img, _target)
 
         fn = self._get_prefill(bucket, img_bucket, Bp)
         self._rng, key = jax.random.split(self._rng)
