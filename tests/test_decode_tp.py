@@ -199,3 +199,35 @@ def test_engine_tp_prefix_fork(setup):
     assert eng.caches["k"].sharding.spec[3] == "tp"
     for o, r in zip(outs, ref):
         assert o.output_ids == r.output_ids, (o.output_ids, r.output_ids)
+
+
+def test_engine_rehomes_foreign_committed_embeds(setup):
+    """ViT embeds committed to an 8-device mesh (the train mesh) fed to an
+    engine pinned to ONE device must be re-homed at prefill, not error
+    (the train->decode activation hand-off on a disaggregated deployment)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from socioreasoner_tpu.parallel.mesh import make_mesh
+
+    config, params = setup
+    train_mesh = make_mesh(dp=2, fsdp=2, tp=2)
+    n_img = 4
+    rng = np.random.default_rng(3)
+    embeds = jax.device_put(
+        jnp.asarray(rng.standard_normal((n_img, config.text.hidden_size)),
+                    jnp.float32),
+        NamedSharding(train_mesh, P()))           # committed to all 8 devices
+    prompt = rng.integers(2, 200, size=3).tolist()
+    ids = prompt[:2] + [config.image_token_id] * n_img + prompt[2:]
+
+    for dev in (jax.devices()[0], jax.devices()[1]):
+        eng = DecodeEngine(config, params, max_slots=2, max_len=64,
+                           decode_chunk=4, prefill_buckets=(16,),
+                           cache_dtype=jnp.float32, device=dev,
+                           image_buckets=(0, 8))
+        out = eng.generate([Request(
+            request_id="r", prompt_ids=list(ids),
+            sampling=SamplingParams(temperature=0.0, do_sample=False,
+                                    max_new_tokens=3),
+            image_embeds=embeds)])[0]
+        assert out.finish_reason != "error", out.meta
+        assert len(out.output_ids) >= 1
