@@ -82,37 +82,55 @@ def _attn_kernel(kvlen_ref, q_ref, k_ref, v_ref, o_ref, *,
     o_ref[:] = out.astype(o_ref.dtype)
 
 
-def _seg_kernel(q_ref, k_ref, v_ref, segq_ref, segk_ref, o_ref, *,
-                scale: float, block_k: int, seq_k: int):
-    """Segment-id equality attention (ViT windows). seg refs are full (1, S)."""
-    bq, D = q_ref.shape
-    iq = pl.program_id(1)
-    q = q_ref[:].astype(jnp.float32) * scale
-    seg_q = segq_ref[0, pl.ds(iq * bq, bq)]                  # (bq,)
-    nk = seq_k // block_k
+def _seg_kernel(q_ref, k_ref, v_ref, segq_ref, segk_ref, o_ref,
+                m_sc, l_sc, acc_sc, *, scale: float):
+    """Segment-id equality attention (ViT windows / packed full-att blocks).
 
-    def body(j, carry):
-        m_prev, l_prev, acc_prev = carry
-        k = k_ref[pl.ds(j * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+    KV is a GRID dimension (innermost), so VMEM holds one (block_k, D) K/V
+    tile at a time — O(block) regardless of the packed sequence length (a
+    full-KV-resident variant scoped-vmem-OOMed at S=46720 on v5e: 45.75M vs
+    the 16M limit). Online-softmax state (m, l, acc) carries across KV steps
+    in VMEM scratch. Segments are contiguous in the packed layout, so a
+    (q-block, k-block) pair whose segment-id ranges don't overlap is entirely
+    masked — the MXU work is skipped and only the carry survives, making the
+    cost effectively block-diagonal (16 packed images ≈ 16× fewer block
+    matmuls than dense)."""
+    j = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _init():
+        m_sc[:] = jnp.full_like(m_sc[:], NEG_INF)
+        l_sc[:] = jnp.zeros_like(l_sc[:])
+        acc_sc[:] = jnp.zeros_like(acc_sc[:])
+
+    seg_q = segq_ref[0]                                       # (bq,)
+    seg_k = segk_ref[0]                                       # (bk,)
+    overlap = ((jnp.max(seg_q) >= jnp.min(seg_k))
+               & (jnp.min(seg_q) <= jnp.max(seg_k)))
+
+    @pl.when(overlap)
+    def _compute():
+        q = q_ref[:].astype(jnp.float32) * scale
+        k = k_ref[:].astype(jnp.float32)
+        v = v_ref[:].astype(jnp.float32)
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        seg_k = segk_ref[0, pl.ds(j * block_k, block_k)]
+                                preferred_element_type=jnp.float32)  # (bq, bk)
         mask = seg_q[:, None] == seg_k[None, :]
         s = jnp.where(mask, s, NEG_INF)
+        m_prev = m_sc[:]
         m_new = jnp.maximum(m_prev, s.max(axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
         corr = jnp.exp(m_prev - m_new)
-        l_new = l_prev * corr + p.sum(axis=-1, keepdims=True)
-        acc_new = acc_prev * corr + jax.lax.dot_general(
+        l_sc[:] = l_sc[:] * corr + p.sum(axis=-1, keepdims=True)
+        acc_sc[:] = acc_sc[:] * corr + jax.lax.dot_general(
             p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        return m_new, l_new, acc_new
+        m_sc[:] = m_new
 
-    m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((bq, 1), jnp.float32)
-    acc0 = jnp.zeros((bq, D), jnp.float32)
-    m, l, acc = jax.lax.fori_loop(0, nk, body, (m0, l0, acc0))
-    o_ref[:] = (acc / jnp.where(l == 0, 1.0, l)).astype(o_ref.dtype)
+    @pl.when(j == nk - 1)
+    def _out():
+        l = l_sc[:]
+        o_ref[:] = (acc_sc[:] / jnp.where(l == 0, 1.0, l)).astype(o_ref.dtype)
 
 
 def _pad_to(x, axis, multiple, value=0.0):
@@ -209,21 +227,27 @@ def flash_attention_segmented(
     seg_q = jnp.pad(seg, (0, Sp - S0), constant_values=-1)[None]          # (1, Sp)
     seg_k = jnp.pad(seg, (0, kh.shape[1] - S0), constant_values=-2)[None]
 
-    grid = (H, Sp // block_q)
-    kernel = functools.partial(_seg_kernel, scale=scale, block_k=block_k,
-                               seq_k=kh.shape[1])
+    grid = (H, Sp // block_q, kh.shape[1] // block_k)
+    kernel = functools.partial(_seg_kernel, scale=scale)
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((None, block_q, D), lambda h, i: (h, i, 0)),
-            pl.BlockSpec((None, kh.shape[1], D), lambda h, i: (h, 0, 0)),
-            pl.BlockSpec((None, kh.shape[1], D), lambda h, i: (h, 0, 0)),
-            pl.BlockSpec((1, Sp), lambda h, i: (0, 0)),
-            pl.BlockSpec((1, kh.shape[1]), lambda h, i: (0, 0)),
+            pl.BlockSpec((None, block_q, D), lambda h, i, j: (h, i, 0)),
+            pl.BlockSpec((None, block_k, D), lambda h, i, j: (h, j, 0)),
+            pl.BlockSpec((None, block_k, D), lambda h, i, j: (h, j, 0)),
+            pl.BlockSpec((1, block_q), lambda h, i, j: (0, i)),
+            pl.BlockSpec((1, block_k), lambda h, i, j: (0, j)),
         ],
-        out_specs=pl.BlockSpec((None, block_q, D), lambda h, i: (h, i, 0)),
+        out_specs=pl.BlockSpec((None, block_q, D), lambda h, i, j: (h, i, 0)),
         out_shape=jax.ShapeDtypeStruct((H, Sp, D), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, D), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=interpret,
     )(qh, kh, vh, seg_q, seg_k)
     return out[:, :S0].transpose(1, 0, 2)
