@@ -40,7 +40,8 @@ def _norm(cfg: VisionConfig, x, p, key):
 
 def vision_block(cfg: VisionConfig, p: Dict, x: jnp.ndarray, cos: jnp.ndarray,
                  sin: jnp.ndarray, seg: jnp.ndarray,
-                 use_flash: bool = False) -> jnp.ndarray:
+                 use_flash: bool = False,
+                 max_span_blocks: int = None) -> jnp.ndarray:
     """One ViT block. x: (S, hidden); seg: (S,) attention segment ids."""
     S = x.shape[0]
     H, D = cfg.num_heads, cfg.head_dim
@@ -55,7 +56,8 @@ def vision_block(cfg: VisionConfig, p: Dict, x: jnp.ndarray, cos: jnp.ndarray,
     k = (k32 * c + rope_mod.rotate_half(k32) * s).astype(x.dtype)
     if use_flash:
         from ...ops.flash_attention import flash_attention_segmented
-        attn = flash_attention_segmented(q, k, v, seg)
+        attn = flash_attention_segmented(q, k, v, seg,
+                                         max_span_blocks=max_span_blocks)
     else:
         attn = dense_attention(q[None], k[None], v[None],
                                segment_ids_q=seg[None], segment_ids_kv=seg[None])[0]
@@ -80,6 +82,10 @@ def vision_tower(
     full_seg: jnp.ndarray,     # (S,) per-image segment ids
     is_full_layer: jnp.ndarray,  # (depth,) bool — use full_seg in this layer
     use_flash: bool = False,
+    max_span_blocks: int = None,   # static: max k-block span over BOTH seg
+    #                                arrays (ops/flash_attention.py
+    #                                seg_max_span_blocks) — makes the packed
+    #                                attention block-diagonal-cost
 ) -> jnp.ndarray:
     """Returns (S // spatial_merge_unit, out_hidden) merged embeddings, still in
     window order (caller applies the inverse permutation)."""
@@ -88,7 +94,8 @@ def vision_tower(
     def body(h, layer):
         p, is_full = layer
         seg = jnp.where(is_full, full_seg, window_seg)
-        return vision_block(cfg, p, h, cos, sin, seg, use_flash=use_flash), None
+        return vision_block(cfg, p, h, cos, sin, seg, use_flash=use_flash,
+                            max_span_blocks=max_span_blocks), None
 
     x, _ = jax.lax.scan(body, x, (params["blocks"], is_full_layer))
 
@@ -148,11 +155,12 @@ def patchify_device(img_u8: jnp.ndarray,         # (H, W, 3) uint8, resized
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "use_flash", "n_img",
-                                             "ps", "ms", "tps"))
+                                             "ps", "ms", "tps",
+                                             "max_span_blocks"))
 def _vision_core_u8(cfg: VisionConfig, params: Dict, images_u8, mean, std,
                     cos, sin, window_seg, full_seg, is_full, perm, inv_perm,
                     *, use_flash: bool, n_img: int, ps: int, ms: int,
-                    tps: int) -> jnp.ndarray:
+                    tps: int, max_span_blocks: int = None) -> jnp.ndarray:
     dtype = params["patch_embed_w"].dtype
     parts = []
     for a in images_u8:
@@ -166,7 +174,8 @@ def _vision_core_u8(cfg: VisionConfig, params: Dict, images_u8, mean, std,
         parts.append(p.reshape(gh * gw, C * tps * ps * ps).astype(dtype))
     patches = parts[0] if n_img == 1 else jnp.concatenate(parts, axis=0)
     out = vision_tower(cfg, params, patches[perm], cos, sin, window_seg,
-                       full_seg, is_full, use_flash=use_flash)
+                       full_seg, is_full, use_flash=use_flash,
+                       max_span_blocks=max_span_blocks)
     return out[inv_perm]
 
 
@@ -185,6 +194,8 @@ def run_vision_u8(cfg: VisionConfig, params: Dict, images_u8,
     cos, sin = rope_mod.vision_rope_cos_sin(grid_thw, cfg)
     patch_perm = (window_index[:, None] * unit + np.arange(unit)[None, :]).reshape(-1)
     is_full = np.array([i in cfg.fullatt_block_indexes for i in range(cfg.depth)])
+    from ...ops.flash_attention import seg_max_span_blocks
+    maxk = max(seg_max_span_blocks(window_seg), seg_max_span_blocks(full_seg))
     out = _vision_core_u8(
         cfg, params, tuple(jnp.asarray(np.ascontiguousarray(a))
                            for a in images_u8),
@@ -194,18 +205,21 @@ def run_vision_u8(cfg: VisionConfig, params: Dict, images_u8,
         jnp.asarray(window_seg), jnp.asarray(full_seg), jnp.asarray(is_full),
         jnp.asarray(patch_perm), jnp.asarray(np.argsort(window_index)),
         use_flash=use_flash_attention(), n_img=len(images_u8),
-        ps=ic.patch_size, ms=ic.merge_size, tps=ic.temporal_patch_size)
+        ps=ic.patch_size, ms=ic.merge_size, tps=ic.temporal_patch_size,
+        max_span_blocks=maxk)
     if dtype is not None:
         out = out.astype(dtype)
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "use_flash"))
+@functools.partial(jax.jit, static_argnames=("cfg", "use_flash",
+                                             "max_span_blocks"))
 def _vision_core(cfg: VisionConfig, params: Dict, patches, cos, sin,
                  window_seg, full_seg, is_full, inv_perm, *,
-                 use_flash: bool) -> jnp.ndarray:
+                 use_flash: bool, max_span_blocks: int = None) -> jnp.ndarray:
     out = vision_tower(cfg, params, patches, cos, sin, window_seg, full_seg,
-                       is_full, use_flash=use_flash)
+                       is_full, use_flash=use_flash,
+                       max_span_blocks=max_span_blocks)
     return out[inv_perm]
 
 
@@ -217,10 +231,14 @@ def run_vision(cfg: VisionConfig, params: Dict, pixel_patches: np.ndarray,
     if dtype is None:
         dtype = params["patch_embed_w"].dtype
     from ...ops.flags import use_flash_attention
+    from ...ops.flash_attention import seg_max_span_blocks
     prep = vision_host_inputs(cfg, pixel_patches, grid_thw)
+    maxk = max(seg_max_span_blocks(prep["window_seg"]),
+               seg_max_span_blocks(prep["full_seg"]))
     return _vision_core(
         cfg, params,
         jnp.asarray(prep["patches"], dtype), jnp.asarray(prep["cos"]),
         jnp.asarray(prep["sin"]), jnp.asarray(prep["window_seg"]),
         jnp.asarray(prep["full_seg"]), jnp.asarray(prep["is_full_layer"]),
-        jnp.asarray(prep["inv_perm"]), use_flash=use_flash_attention())
+        jnp.asarray(prep["inv_perm"]), use_flash=use_flash_attention(),
+        max_span_blocks=maxk)

@@ -82,19 +82,25 @@ def _attn_kernel(kvlen_ref, q_ref, k_ref, v_ref, o_ref, *,
     o_ref[:] = out.astype(o_ref.dtype)
 
 
-def _seg_kernel(q_ref, k_ref, v_ref, segq_ref, segk_ref, o_ref,
-                m_sc, l_sc, acc_sc, *, scale: float):
+def _seg_kernel(kstart_ref, kend_ref, q_ref, k_ref, v_ref, segq_ref, segk_ref,
+                o_ref, m_sc, l_sc, acc_sc, *, scale: float):
     """Segment-id equality attention (ViT windows / packed full-att blocks).
 
     KV is a GRID dimension (innermost), so VMEM holds one (block_k, D) K/V
     tile at a time — O(block) regardless of the packed sequence length (a
     full-KV-resident variant scoped-vmem-OOMed at S=46720 on v5e: 45.75M vs
     the 16M limit). Online-softmax state (m, l, acc) carries across KV steps
-    in VMEM scratch. Segments are contiguous in the packed layout, so a
-    (q-block, k-block) pair whose segment-id ranges don't overlap is entirely
-    masked — the MXU work is skipped and only the carry survives, making the
-    cost effectively block-diagonal (16 packed images ≈ 16× fewer block
-    matmuls than dense)."""
+    in VMEM scratch.
+
+    BLOCK-SPARSE: segments are contiguous in the packed layout, so q block i
+    only needs k blocks kstart[i]..kend[i] (scalar prefetch). The K/V index
+    map clamps out-of-range grid steps to kend[i] — Pallas elides the copy
+    when the mapped index repeats, so HBM K/V traffic is O(needed blocks),
+    not O(nq·nk). Without this, a 16-image packed ViT dispatch (S≈46k) read
+    ~87 GB of K/V per layer and the socioseg bench regressed 0.417→0.138
+    tiles/s (driver BENCH r3 pre-fix run). The compute guard additionally
+    skips masked pairs inside the range (partial edge blocks)."""
+    i = pl.program_id(1)
     j = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -106,7 +112,9 @@ def _seg_kernel(q_ref, k_ref, v_ref, segq_ref, segk_ref, o_ref,
 
     seg_q = segq_ref[0]                                       # (bq,)
     seg_k = segk_ref[0]                                       # (bk,)
-    overlap = ((jnp.max(seg_q) >= jnp.min(seg_k))
+    in_range = kstart_ref[i] + j <= kend_ref[i]
+    overlap = (in_range
+               & (jnp.max(seg_q) >= jnp.min(seg_k))
                & (jnp.min(seg_q) <= jnp.max(seg_k)))
 
     @pl.when(overlap)
@@ -202,7 +210,27 @@ def flash_attention(
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
+def seg_max_span_blocks(segment_ids, block_q: int = 128,
+                        block_k: int = 128) -> int:
+    """Host helper: max k-block span any q block needs, for NONDECREASING
+    contiguous segment ids (the ViT window-permuted layout). Pass the max
+    over all per-layer segment arrays as `max_span_blocks` to
+    flash_attention_segmented to shrink its KV grid from nk to this."""
+    import numpy as np
+    s = np.asarray(segment_ids)
+    S0 = s.shape[0]
+    if S0 == 0:
+        return 1
+    nq = -(-S0 // block_q)
+    starts = np.minimum(np.arange(nq) * block_q, S0 - 1)
+    ends = np.minimum((np.arange(nq) + 1) * block_q - 1, S0 - 1)
+    kmin = np.searchsorted(s, s[starts], side="left")
+    kmax = np.searchsorted(s, s[ends], side="right") - 1
+    return int(np.max(kmax // block_k - kmin // block_k + 1))
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k",
+                                             "max_span_blocks", "interpret"))
 def flash_attention_segmented(
     q: jnp.ndarray,                      # (S, H, D) — packed ViT sequence
     k: jnp.ndarray,
@@ -211,8 +239,16 @@ def flash_attention_segmented(
     *,
     block_q: int = 128,
     block_k: int = 128,
+    max_span_blocks: Optional[int] = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
+    """Segment-masked attention over a packed sequence.
+
+    `max_span_blocks` (static, from seg_max_span_blocks on the host) REQUIRES
+    nondecreasing segment_ids: it both shrinks the KV grid dimension and
+    activates per-q-block k-bounds, making HBM traffic and grid iteration
+    O(block-diagonal) instead of O(S²). Without it the kernel is dense-safe
+    for arbitrary segment ids (every pair visited, masked pairs skipped)."""
     S, H, D = q.shape
     scale = D ** -0.5
     qh = q.transpose(1, 0, 2)            # (H, S, D)
@@ -227,29 +263,59 @@ def flash_attention_segmented(
     seg_q = jnp.pad(seg, (0, Sp - S0), constant_values=-1)[None]          # (1, Sp)
     seg_k = jnp.pad(seg, (0, kh.shape[1] - S0), constant_values=-2)[None]
 
-    grid = (H, Sp // block_q, kh.shape[1] // block_k)
-    kernel = functools.partial(_seg_kernel, scale=scale)
-    out = pl.pallas_call(
-        kernel,
-        grid=grid,
+    nq = Sp // block_q
+    nk = kh.shape[1] // block_k
+    if max_span_blocks is not None and max_span_blocks < nk:
+        # per-q-block k bounds (nondecreasing segs: block i's k range covers
+        # the first occurrence of its first row's seg through the last
+        # occurrence of its last valid row's seg)
+        starts = jnp.minimum(jnp.arange(nq) * block_q, S0 - 1)
+        ends = jnp.minimum((jnp.arange(nq) + 1) * block_q - 1, S0 - 1)
+        sv = seg[:S0]
+        kmin = jnp.searchsorted(sv, sv[starts], side="left")
+        kmax = jnp.searchsorted(sv, sv[ends], side="right") - 1
+        kstart = (kmin // block_k).astype(jnp.int32)
+        kend = (kmax // block_k).astype(jnp.int32)
+        G = max_span_blocks
+    else:
+        kstart = jnp.zeros((nq,), jnp.int32)
+        kend = jnp.full((nq,), nk - 1, jnp.int32)
+        G = nk
+
+    def kv_map(h, i, j, kstart, kend):
+        # out-of-range steps re-map to kend[i]; Pallas elides the copy when
+        # the mapped index repeats, so they cost no HBM traffic
+        return (h, jnp.clip(jnp.minimum(kstart[i] + j, kend[i]), 0, nk - 1), 0)
+
+    def seg_k_map(h, i, j, kstart, kend):
+        return (0, jnp.clip(jnp.minimum(kstart[i] + j, kend[i]), 0, nk - 1))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(H, nq, G),
         in_specs=[
-            pl.BlockSpec((None, block_q, D), lambda h, i, j: (h, i, 0)),
-            pl.BlockSpec((None, block_k, D), lambda h, i, j: (h, j, 0)),
-            pl.BlockSpec((None, block_k, D), lambda h, i, j: (h, j, 0)),
-            pl.BlockSpec((1, block_q), lambda h, i, j: (0, i)),
-            pl.BlockSpec((1, block_k), lambda h, i, j: (0, j)),
+            pl.BlockSpec((None, block_q, D), lambda h, i, j, *_: (h, i, 0)),
+            pl.BlockSpec((None, block_k, D), kv_map),
+            pl.BlockSpec((None, block_k, D), kv_map),
+            pl.BlockSpec((1, block_q), lambda h, i, j, *_: (0, i)),
+            pl.BlockSpec((1, block_k), seg_k_map),
         ],
-        out_specs=pl.BlockSpec((None, block_q, D), lambda h, i, j: (h, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((H, Sp, D), q.dtype),
+        out_specs=pl.BlockSpec((None, block_q, D), lambda h, i, j, *_: (h, i, 0)),
         scratch_shapes=[
             pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, D), jnp.float32),
         ],
+    )
+    kernel = functools.partial(_seg_kernel, scale=scale)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((H, Sp, D), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=interpret,
-    )(qh, kh, vh, seg_q, seg_k)
+    )(kstart, kend, qh, kh, vh, seg_q, seg_k)
     return out[:, :S0].transpose(1, 0, 2)
 
 
