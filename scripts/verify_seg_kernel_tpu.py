@@ -34,15 +34,30 @@ def main():
     v = jnp.asarray(rng.standard_normal((S, H, D)), jnp.bfloat16)
     seg = jnp.repeat(jnp.arange(n_seg, dtype=jnp.int32), seg_len)
 
-    out = flash_attention_segmented(q, k, v, seg)
-    out.block_until_ready()
-    print(f"compiled + ran: out {out.shape} {out.dtype}")
-
+    from socioreasoner_tpu.ops.flash_attention import seg_max_span_blocks
+    maxk = seg_max_span_blocks(np.asarray(seg))
+    out_d = flash_attention_segmented(q, k, v, seg)
+    out_d.block_until_ready()
+    print(f"dense-fallback compiled + ran: out {out_d.shape} {out_d.dtype}")
     t0 = time.perf_counter()
     for _ in range(3):
-        out = flash_attention_segmented(q, k, v, seg)
+        out_d = flash_attention_segmented(q, k, v, seg)
+    out_d.block_until_ready()
+    print(f"dense-fallback S={S}: "
+          f"{(time.perf_counter() - t0) / 3 * 1e3:.1f} ms/call")
+
+    out = flash_attention_segmented(q, k, v, seg, max_span_blocks=maxk)
     out.block_until_ready()
-    print(f"packed S={S}: {(time.perf_counter() - t0) / 3 * 1e3:.1f} ms/call")
+    t0 = time.perf_counter()
+    for _ in range(3):
+        out = flash_attention_segmented(q, k, v, seg, max_span_blocks=maxk)
+    out.block_until_ready()
+    print(f"block-sparse (maxk={maxk}) S={S}: "
+          f"{(time.perf_counter() - t0) / 3 * 1e3:.1f} ms/call")
+    err_sp = float(jnp.abs(out.astype(jnp.float32)
+                           - out_d.astype(jnp.float32)).max())
+    print(f"sparse vs dense-fallback: max |err| = {err_sp:.4f}")
+    assert err_sp < 0.05
 
     # numerics: check segments 0 and 7 against per-segment dense attention
     for si in (0, 7):

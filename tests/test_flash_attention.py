@@ -70,3 +70,30 @@ def test_flash_segmented_ragged_windows():
     got = flash_attention_segmented(q, k, v, jnp.array(seg),
                                     block_q=64, block_k=64, interpret=True)
     np.testing.assert_allclose(np.array(got), np.array(want), atol=2e-5, rtol=1e-4)
+
+
+def test_flash_segmented_block_sparse_bounds():
+    """max_span_blocks (block-sparse k-bounds via scalar prefetch) must match
+    the dense-fallback path exactly on nondecreasing contiguous segments —
+    including ragged edge windows and a q block straddling segment borders."""
+    from socioreasoner_tpu.ops.flash_attention import seg_max_span_blocks
+    rng = np.random.default_rng(4)
+    sizes = [64, 48, 64, 200, 30, 64, 150, 64]
+    seg = np.concatenate([np.full(s, i) for i, s in enumerate(sizes)]).astype(np.int32)
+    S, H, D = len(seg), 2, 64
+    q = jnp.array(rng.normal(size=(S, H, D)).astype(np.float32))
+    k = jnp.array(rng.normal(size=(S, H, D)).astype(np.float32))
+    v = jnp.array(rng.normal(size=(S, H, D)).astype(np.float32))
+    want = dense_attention(q[None], k[None], v[None],
+                           segment_ids_q=jnp.array(seg)[None],
+                           segment_ids_kv=jnp.array(seg)[None])[0]
+    maxk = seg_max_span_blocks(seg, block_q=64, block_k=64)
+    got = flash_attention_segmented(q, k, v, jnp.array(seg), block_q=64,
+                                    block_k=64, max_span_blocks=maxk,
+                                    interpret=True)
+    np.testing.assert_allclose(np.array(got), np.array(want), atol=2e-5, rtol=1e-4)
+    # an over-wide span bound must also stay correct (clamped index map)
+    got2 = flash_attention_segmented(q, k, v, jnp.array(seg), block_q=64,
+                                     block_k=64, max_span_blocks=maxk + 3,
+                                     interpret=True)
+    np.testing.assert_allclose(np.array(got2), np.array(want), atol=2e-5, rtol=1e-4)
