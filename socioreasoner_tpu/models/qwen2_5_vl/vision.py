@@ -31,6 +31,13 @@ from ...ops.norms import layer_norm, quick_gelu, rms_norm, swiglu
 from .config import VisionConfig
 from . import rope as rope_mod
 
+# ViT segmented-attention Pallas block sizes. Large q blocks cut HBM K/V
+# traffic: the block-sparse span of a q block is ~the images it straddles
+# (rows, not blocks), so traffic ~ nq * image_pair_rows - quartering nq
+# quarters the reads. 512x256 fits VMEM at D=80 (q/acc 164 KB f32).
+SEG_BLOCK_Q = 512
+SEG_BLOCK_K = 256
+
 
 def _norm(cfg: VisionConfig, x, p, key):
     if cfg.variant == "qwen2":     # LayerNorm with bias
@@ -57,6 +64,8 @@ def vision_block(cfg: VisionConfig, p: Dict, x: jnp.ndarray, cos: jnp.ndarray,
     if use_flash:
         from ...ops.flash_attention import flash_attention_segmented
         attn = flash_attention_segmented(q, k, v, seg,
+                                         block_q=min(SEG_BLOCK_Q, S),
+                                         block_k=min(SEG_BLOCK_K, S),
                                          max_span_blocks=max_span_blocks)
     else:
         attn = dense_attention(q[None], k[None], v[None],
@@ -195,7 +204,10 @@ def run_vision_u8(cfg: VisionConfig, params: Dict, images_u8,
     patch_perm = (window_index[:, None] * unit + np.arange(unit)[None, :]).reshape(-1)
     is_full = np.array([i in cfg.fullatt_block_indexes for i in range(cfg.depth)])
     from ...ops.flash_attention import seg_max_span_blocks
-    maxk = max(seg_max_span_blocks(window_seg), seg_max_span_blocks(full_seg))
+    S_pk = len(window_seg)
+    bq, bk = min(SEG_BLOCK_Q, S_pk), min(SEG_BLOCK_K, S_pk)
+    maxk = max(seg_max_span_blocks(window_seg, bq, bk),
+               seg_max_span_blocks(full_seg, bq, bk))
     out = _vision_core_u8(
         cfg, params, tuple(jnp.asarray(np.ascontiguousarray(a))
                            for a in images_u8),
@@ -233,8 +245,10 @@ def run_vision(cfg: VisionConfig, params: Dict, pixel_patches: np.ndarray,
     from ...ops.flags import use_flash_attention
     from ...ops.flash_attention import seg_max_span_blocks
     prep = vision_host_inputs(cfg, pixel_patches, grid_thw)
-    maxk = max(seg_max_span_blocks(prep["window_seg"]),
-               seg_max_span_blocks(prep["full_seg"]))
+    S_pk = len(prep["window_seg"])
+    bq, bk = min(SEG_BLOCK_Q, S_pk), min(SEG_BLOCK_K, S_pk)
+    maxk = max(seg_max_span_blocks(prep["window_seg"], bq, bk),
+               seg_max_span_blocks(prep["full_seg"], bq, bk))
     return _vision_core(
         cfg, params,
         jnp.asarray(prep["patches"], dtype), jnp.asarray(prep["cos"]),
