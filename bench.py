@@ -260,10 +260,14 @@ def bench_decode(params, config, rng):
         t0 = time.perf_counter()
         outs = engine.step()                        # batched prefill + chunk 1
         t1 = time.perf_counter()
-        nsteps = 0
+        # steady-state steps must come from the engine's own counter: the
+        # in-chunk early exit can run < decode_chunk steps per step() call,
+        # and counting decode_chunk per call inflated BENCH_r03's int8 number
+        # by 1.49x (VERDICT r3 Weak #2)
+        steps0 = engine.steps_executed
         while engine.has_work():
             outs += engine.step()
-            nsteps += engine.decode_chunk
+        nsteps = engine.steps_executed - steps0
         t2 = time.perf_counter()
         toks = sum(len(o.output_ids) for o in outs)
         e2e = toks / (t2 - t0)
@@ -298,10 +302,10 @@ def bench_decode_int8(params, config, rng):
         engine.waiting.append(r)
     engine.step()
     t0 = time.perf_counter()
-    nsteps = 0
+    steps0 = engine.steps_executed     # honest count under in-chunk early exit
     while engine.has_work():
         engine.step()
-        nsteps += engine.decode_chunk
+    nsteps = engine.steps_executed - steps0
     return 24 * nsteps / (time.perf_counter() - t0)
 
 

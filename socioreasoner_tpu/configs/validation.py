@@ -86,14 +86,13 @@ def validate_worker(role: str, wc: Optional[WorkerConfig],
             f"role {role}: dp_size={dp} decode replicas exceed the {n} "
             "available devices")
     if name == "jax_decode" and tp > 1:
-        if dp > 1:
+        # TP×DP decode composes: dp replicas of tp-sharded engines over
+        # disjoint device groups (ref vllm_strategy.py:98-106 tp-per-engine ×
+        # dp-across-cluster). Needs dp*tp devices.
+        if dp * tp > n:
             raise ValueError(
-                f"role {role}: dp_size={dp} with tensor_model_parallel_size="
-                f"{tp} is not supported — pick DP replicas or one TP engine")
-        if n % tp:
-            raise ValueError(
-                f"role {role}: tensor_model_parallel_size={tp} does not "
-                f"divide the {n} available devices")
+                f"role {role}: dp_size={dp} × tensor_model_parallel_size={tp}"
+                f" = {dp * tp} devices needed, only {n} available")
     vpp = int(sc.get("virtual_pipeline_model_parallel_size", 1) or 1)
     if vpp > 1 and pp <= 1:
         raise ValueError(

@@ -35,8 +35,9 @@ from . import rope as rope_mod
 # traffic: the block-sparse span of a q block is ~the images it straddles
 # (rows, not blocks), so traffic ~ nq * image_pair_rows - quartering nq
 # quarters the reads. 512x256 fits VMEM at D=80 (q/acc 164 KB f32).
-SEG_BLOCK_Q = 512
-SEG_BLOCK_K = 256
+# seg_block_sizes shrinks them (128-aligned) for short sequences.
+from ...ops.flash_attention import (SEG_BLOCK_Q, SEG_BLOCK_K,  # noqa: F401
+                                    seg_block_sizes)
 
 
 def _norm(cfg: VisionConfig, x, p, key):
@@ -63,9 +64,8 @@ def vision_block(cfg: VisionConfig, p: Dict, x: jnp.ndarray, cos: jnp.ndarray,
     k = (k32 * c + rope_mod.rotate_half(k32) * s).astype(x.dtype)
     if use_flash:
         from ...ops.flash_attention import flash_attention_segmented
-        attn = flash_attention_segmented(q, k, v, seg,
-                                         block_q=min(SEG_BLOCK_Q, S),
-                                         block_k=min(SEG_BLOCK_K, S),
+        bq, bk = seg_block_sizes(S)
+        attn = flash_attention_segmented(q, k, v, seg, block_q=bq, block_k=bk,
                                          max_span_blocks=max_span_blocks)
     else:
         attn = dense_attention(q[None], k[None], v[None],
@@ -204,10 +204,16 @@ def run_vision_u8(cfg: VisionConfig, params: Dict, images_u8,
     patch_perm = (window_index[:, None] * unit + np.arange(unit)[None, :]).reshape(-1)
     is_full = np.array([i in cfg.fullatt_block_indexes for i in range(cfg.depth)])
     from ...ops.flash_attention import seg_max_span_blocks
-    S_pk = len(window_seg)
-    bq, bk = min(SEG_BLOCK_Q, S_pk), min(SEG_BLOCK_K, S_pk)
-    maxk = max(seg_max_span_blocks(window_seg, bq, bk),
-               seg_max_span_blocks(full_seg, bq, bk))
+    use_flash = use_flash_attention()
+    maxk = None
+    if use_flash:
+        # only the flash path consumes maxk — computing it anyway would key
+        # the jit cache on an unused value and recompile the dense path per
+        # input shape (ADVICE r3 low)
+        S_pk = len(window_seg)
+        bq, bk = seg_block_sizes(S_pk)
+        maxk = max(seg_max_span_blocks(window_seg, bq, bk),
+                   seg_max_span_blocks(full_seg, bq, bk))
     out = _vision_core_u8(
         cfg, params, tuple(jnp.asarray(np.ascontiguousarray(a))
                            for a in images_u8),
@@ -216,7 +222,7 @@ def run_vision_u8(cfg: VisionConfig, params: Dict, images_u8,
         jnp.asarray(cos[patch_perm]), jnp.asarray(sin[patch_perm]),
         jnp.asarray(window_seg), jnp.asarray(full_seg), jnp.asarray(is_full),
         jnp.asarray(patch_perm), jnp.asarray(np.argsort(window_index)),
-        use_flash=use_flash_attention(), n_img=len(images_u8),
+        use_flash=use_flash, n_img=len(images_u8),
         ps=ic.patch_size, ms=ic.merge_size, tps=ic.temporal_patch_size,
         max_span_blocks=maxk)
     if dtype is not None:
@@ -245,14 +251,17 @@ def run_vision(cfg: VisionConfig, params: Dict, pixel_patches: np.ndarray,
     from ...ops.flags import use_flash_attention
     from ...ops.flash_attention import seg_max_span_blocks
     prep = vision_host_inputs(cfg, pixel_patches, grid_thw)
-    S_pk = len(prep["window_seg"])
-    bq, bk = min(SEG_BLOCK_Q, S_pk), min(SEG_BLOCK_K, S_pk)
-    maxk = max(seg_max_span_blocks(prep["window_seg"], bq, bk),
-               seg_max_span_blocks(prep["full_seg"], bq, bk))
+    use_flash = use_flash_attention()
+    maxk = None
+    if use_flash:
+        S_pk = len(prep["window_seg"])
+        bq, bk = seg_block_sizes(S_pk)
+        maxk = max(seg_max_span_blocks(prep["window_seg"], bq, bk),
+                   seg_max_span_blocks(prep["full_seg"], bq, bk))
     return _vision_core(
         cfg, params,
         jnp.asarray(prep["patches"], dtype), jnp.asarray(prep["cos"]),
         jnp.asarray(prep["sin"]), jnp.asarray(prep["window_seg"]),
         jnp.asarray(prep["full_seg"]), jnp.asarray(prep["is_full_layer"]),
-        jnp.asarray(prep["inv_perm"]), use_flash=use_flash_attention(),
+        jnp.asarray(prep["inv_perm"]), use_flash=use_flash,
         max_span_blocks=maxk)

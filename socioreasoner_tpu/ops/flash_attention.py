@@ -210,6 +210,35 @@ def flash_attention(
     return out
 
 
+# default segmented-attention block shape (tuned on-chip r3: 512x256)
+SEG_BLOCK_Q = 512
+SEG_BLOCK_K = 256
+
+
+def seg_block_sizes(S: int) -> "tuple[int, int]":
+    """Sublane/lane-aligned Pallas block sizes for a packed length S.
+
+    Returns the default (SEG_BLOCK_Q, SEG_BLOCK_K), shrunk to the next
+    multiple of 128 ≥ S for short sequences — a raw min(BLOCK, S) produced
+    ragged non-aligned shapes (e.g. S=292 → block_q=292) that Mosaic may
+    reject or tile badly (ADVICE r3 medium)."""
+    fit = max(128, -(-S // 128) * 128)
+    return min(SEG_BLOCK_Q, fit), min(SEG_BLOCK_K, fit)
+
+
+def _seg_kv_bounds(seg, S0: int, nq: int, block_q: int, block_k: int, xp):
+    """Per-q-block k-block bounds for NONDECREASING contiguous segment ids.
+
+    Single source of the starts/ends/kmin/kmax formula, parameterized on the
+    array module (np on the host for the static span, jnp inside the traced
+    kernel wrapper) so the two can never diverge (ADVICE r3 low)."""
+    starts = xp.minimum(xp.arange(nq) * block_q, S0 - 1)
+    ends = xp.minimum((xp.arange(nq) + 1) * block_q - 1, S0 - 1)
+    kmin = xp.searchsorted(seg, seg[starts], side="left")
+    kmax = xp.searchsorted(seg, seg[ends], side="right") - 1
+    return kmin // block_k, kmax // block_k
+
+
 def seg_max_span_blocks(segment_ids, block_q: int = 128,
                         block_k: int = 128) -> int:
     """Host helper: max k-block span any q block needs, for NONDECREASING
@@ -222,15 +251,10 @@ def seg_max_span_blocks(segment_ids, block_q: int = 128,
     if S0 == 0:
         return 1
     nq = -(-S0 // block_q)
-    starts = np.minimum(np.arange(nq) * block_q, S0 - 1)
-    ends = np.minimum((np.arange(nq) + 1) * block_q - 1, S0 - 1)
-    kmin = np.searchsorted(s, s[starts], side="left")
-    kmax = np.searchsorted(s, s[ends], side="right") - 1
-    return int(np.max(kmax // block_k - kmin // block_k + 1))
+    kstart, kend = _seg_kv_bounds(s, S0, nq, block_q, block_k, np)
+    return int(np.max(kend - kstart + 1))
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "block_k",
-                                             "max_span_blocks", "interpret"))
 def flash_attention_segmented(
     q: jnp.ndarray,                      # (S, H, D) — packed ViT sequence
     k: jnp.ndarray,
@@ -249,6 +273,35 @@ def flash_attention_segmented(
     activates per-q-block k-bounds, making HBM traffic and grid iteration
     O(block-diagonal) instead of O(S²). Without it the kernel is dense-safe
     for arbitrary segment ids (every pair visited, masked pairs skipped)."""
+    if max_span_blocks is not None and not isinstance(segment_ids,
+                                                      jax.core.Tracer):
+        # an underestimated span silently truncates attention (ADVICE r3 low)
+        # — validate against the host recompute whenever ids are concrete
+        import numpy as np
+        actual = seg_max_span_blocks(np.asarray(segment_ids), block_q, block_k)
+        if actual > max_span_blocks:
+            raise ValueError(
+                f"max_span_blocks={max_span_blocks} underestimates the real "
+                f"k-block span {actual} for block_q={block_q} "
+                f"block_k={block_k}; attention would be silently truncated")
+    return _flash_attention_segmented(
+        q, k, v, segment_ids, block_q=block_q, block_k=block_k,
+        max_span_blocks=max_span_blocks, interpret=interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k",
+                                             "max_span_blocks", "interpret"))
+def _flash_attention_segmented(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    segment_ids: jnp.ndarray,
+    *,
+    block_q: int = 128,
+    block_k: int = 128,
+    max_span_blocks: Optional[int] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
     S, H, D = q.shape
     scale = D ** -0.5
     qh = q.transpose(1, 0, 2)            # (H, S, D)
@@ -268,14 +321,11 @@ def flash_attention_segmented(
     if max_span_blocks is not None and max_span_blocks < nk:
         # per-q-block k bounds (nondecreasing segs: block i's k range covers
         # the first occurrence of its first row's seg through the last
-        # occurrence of its last valid row's seg)
-        starts = jnp.minimum(jnp.arange(nq) * block_q, S0 - 1)
-        ends = jnp.minimum((jnp.arange(nq) + 1) * block_q - 1, S0 - 1)
-        sv = seg[:S0]
-        kmin = jnp.searchsorted(sv, sv[starts], side="left")
-        kmax = jnp.searchsorted(sv, sv[ends], side="right") - 1
-        kstart = (kmin // block_k).astype(jnp.int32)
-        kend = (kmax // block_k).astype(jnp.int32)
+        # occurrence of its last valid row's seg) — same formula as the host
+        # span computation, via the shared helper
+        kstart, kend = _seg_kv_bounds(seg[:S0], S0, nq, block_q, block_k, jnp)
+        kstart = kstart.astype(jnp.int32)
+        kend = kend.astype(jnp.int32)
         G = max_span_blocks
     else:
         kstart = jnp.zeros((nq,), jnp.int32)

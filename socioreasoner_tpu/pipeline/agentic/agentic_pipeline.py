@@ -59,6 +59,9 @@ class AgenticPipeline(BasePipeline):
         self.actor_infer = JaxDecodeStrategy(worker_config=cfg.actor_infer,
                                              param_store=self.param_store)
         self.actor_infer.initialize(model_config, engine_kwargs=engine_kwargs)
+        self.set_model_update_pair(
+            self.actor_train, self.actor_infer,
+            frequency=max(1, cfg.actor_infer.model_update_frequency))
 
         self.env_worker = EnvironmentWorker(worker_config=cfg.actor_infer)
         self.env_worker.initialize(cfg, env_name=env_name, env_kwargs=env_kwargs,
@@ -84,8 +87,7 @@ class AgenticPipeline(BasePipeline):
         last: Dict[str, float] = {}
         while step < max(cfg.max_steps, 1):
             t0 = time.perf_counter()
-            self.actor_train.model_update()
-            self.actor_infer.model_update()
+            self.model_update(step)   # honors model_update_frequency
             with mm.timer("rollout"):
                 trajs = self.env_worker.run_rollout_loop(n_eps, seed=cfg.seed + step)
             returns = np.array([t.total_reward for t in trajs], np.float32)

@@ -77,12 +77,17 @@ def ppo_policy_loss(
     if cfg.entropy_loss_coef > 0:
         total = total - entropy_loss * cfg.entropy_loss_coef
 
+    # clipfrac stats over RESPONSE tokens only — ratios on padding are garbage
+    # (ref masked stats, base_worker.py:304-320)
     clipped_low = (ratio < 1 - cfg.pg_clip).astype(jnp.float32)
     clipped_high = (ratio > 1 + cfg.pg_clip).astype(jnp.float32)
     metrics = {
-        "actor_train/ppo_ratio_high_clipfrac": clipped_high.mean(),
-        "actor_train/ppo_ratio_low_clipfrac": clipped_low.mean(),
-        "actor_train/ppo_ratio_clipfrac": (clipped_low + clipped_high).mean(),
+        "actor_train/ppo_ratio_high_clipfrac": masked_mean(clipped_high,
+                                                           response_mask),
+        "actor_train/ppo_ratio_low_clipfrac": masked_mean(clipped_low,
+                                                          response_mask),
+        "actor_train/ppo_ratio_clipfrac": masked_mean(clipped_low + clipped_high,
+                                                      response_mask),
         "actor_train/ratio_mean": masked_mean(ratio, response_mask, axis=-1).mean(),
         "actor_train/ratio_max": jnp.max(ratio * response_mask),
         "actor_train/ratio_min": jnp.min(ratio * response_mask + (1 - response_mask) * 1e10),

@@ -67,6 +67,9 @@ class MathVLMPipeline(BasePipeline):
         self.actor_infer = JaxDecodeStrategy(worker_config=cfg.actor_infer,
                                              param_store=self.param_store)
         self.actor_infer.initialize(model_config, engine_kwargs=engine_kwargs)
+        self.set_model_update_pair(
+            self.actor_train, self.actor_infer,
+            frequency=max(1, cfg.actor_infer.model_update_frequency))
         self.collator = SocioSegCollator(processor, model_config,
                                          prompt_length=cfg.prompt_length,
                                          prompt_key="prompt", image_key="images",
@@ -87,8 +90,7 @@ class MathVLMPipeline(BasePipeline):
             if not rows:
                 break
             t0 = time.perf_counter()
-            self.actor_train.model_update()
-            self.actor_infer.model_update()
+            self.model_update(step)   # honors model_update_frequency
             feats = [{"prompt": format_vlm_prompt(r["question"],
                                                   len(r.get("images", []))),
                       "images": r.get("images", []),

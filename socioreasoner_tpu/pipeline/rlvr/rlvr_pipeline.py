@@ -83,6 +83,9 @@ class RLVRPipeline(BasePipeline):
         self.actor_infer = JaxDecodeStrategy(worker_config=cfg.actor_infer,
                                              param_store=self.param_store)
         self.actor_infer.initialize(model_config, engine_kwargs=engine_kwargs)
+        self.set_model_update_pair(
+            self.actor_train, self.actor_infer,
+            frequency=max(1, cfg.actor_infer.model_update_frequency))
         self.kl_ctrl = get_kl_controller(cfg.init_kl_coef, cfg.target_kl,
                                          cfg.kl_horizon)
         self.running = {"default": RunningMoments()}
@@ -155,8 +158,7 @@ class RLVRPipeline(BasePipeline):
 
         while step < cfg.max_steps:
             t0 = time.perf_counter()
-            self.actor_train.model_update()
-            self.actor_infer.model_update()
+            self.model_update(step)   # honors model_update_frequency
 
             sched_rewards = None
             t_gen = time.perf_counter()

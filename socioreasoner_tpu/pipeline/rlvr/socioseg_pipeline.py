@@ -58,24 +58,26 @@ def _build_decode_replicas(cfg, model_config, param_store,
     devices = ([jax.devices()[i] for i in mapping] if mapping
                else jax.devices())
     if tp > 1:
-        # TP-sharded engine over the role's mesh (ref vllm tensor_parallel).
-        if dp > 1:
-            raise ValueError("actor_infer: dp_size>1 with "
-                             "tensor_model_parallel_size>1 is not supported — "
-                             "pick DP replicas or one TP engine")
-        if len(devices) % tp:
-            raise ValueError(f"actor_infer: tensor_model_parallel_size={tp} "
-                             f"does not divide the {len(devices)} devices")
+        # TP×DP composition (ref vllm_strategy.py:98-106: tp-per-engine ×
+        # dp-across-cluster): dp replicas, each a TP-sharded engine over its
+        # own DISJOINT tp-device sub-mesh. Pure-TP mesh per replica: decode
+        # weights/caches shard only over the tp axis (no fsdp fill — the
+        # shard_map kernels reshard anything else away, wasting ICI).
+        if dp * tp > len(devices):
+            raise ValueError(
+                f"actor_infer: dp_size={dp} × tensor_model_parallel_size={tp}"
+                f" needs {dp * tp} devices, have {len(devices)}")
         from ...parallel.mesh import make_mesh
-        # pure-TP mesh on the first tp devices: decode weights/caches shard
-        # only over the tp axis (no fsdp fill — the shard_map kernels reshard
-        # anything else away, wasting ICI)
-        mesh = make_mesh(dp=1, fsdp=1, tp=tp, devices=devices[:tp])
-        s = JaxDecodeStrategy(worker_config=cfg.actor_infer,
-                              param_store=param_store)
-        s.initialize(model_config, engine_kwargs=dict(engine_kwargs or {}),
-                     mesh=mesh)
-        return [s]
+        replicas = []
+        for r in range(dp):
+            mesh = make_mesh(dp=1, fsdp=1, tp=tp,
+                             devices=devices[r * tp:(r + 1) * tp])
+            s = JaxDecodeStrategy(worker_config=cfg.actor_infer,
+                                  param_store=param_store)
+            s.initialize(model_config,
+                         engine_kwargs=dict(engine_kwargs or {}), mesh=mesh)
+            replicas.append(s)
+        return replicas
     replicas = []
     for r in range(dp):
         ek = dict(engine_kwargs or {})
@@ -125,6 +127,13 @@ class SocioSegPipeline(BasePipeline):
         self.decode_replicas = _build_decode_replicas(
             cfg, model_config, self.param_store, engine_kwargs)
         self.actor_infer = self.decode_replicas[0]
+        # per-step weight flow honors model_update_frequency (ref
+        # model_update_group.py:137-155): off-frequency steps skip the param
+        # swap AND the decode engines' quantized-param re-derivation
+        for rep in self.decode_replicas:
+            self.set_model_update_pair(
+                self.actor_train, rep,
+                frequency=max(1, cfg.actor_infer.model_update_frequency))
         self.seg_infer = SegStrategy(worker_config=cfg.seg_infer)
         self.seg_infer.initialize(sam_config, sam_params)
         # config-driven reward plug-point (ref rewards: worker_cls strings in
@@ -170,11 +179,10 @@ class SocioSegPipeline(BasePipeline):
                 break
             t_step = time.perf_counter()
 
-            # 2 ---- weight flow to the decode engine
+            # 2 ---- weight flow to the decode engine (every
+            # model_update_frequency steps, via the base-pipeline pair plane)
             with mm.timer("model_update"):
-                self.actor_train.model_update()
-                for rep in self.decode_replicas:
-                    rep.model_update()
+                self.model_update(step)
 
             batch = self.collator(rows)
             rollout_params = self.param_store.get("rollout")

@@ -113,6 +113,34 @@ def test_ppo_loss_dual_clip_and_agg():
     assert float(l_dual) <= float(l_plain) + 1e-6
 
 
+def test_clipfrac_metrics_masked():
+    """Padding tokens (garbage ratios) must not count toward clipfrac
+    (VERDICT r3 Weak #3; ref masked stats base_worker.py:304-320)."""
+    B, T = 2, 8
+    lp = np.full((B, T), -1.0, np.float32)
+    old = lp.copy()                       # real-token ratios identically 1
+    # garbage on padding: huge log-ratio → ratio far outside the clip band
+    mask = np.zeros((B, T), np.float32)
+    mask[:, :3] = 1.0
+    old[mask == 0] = -9.0
+    _, metrics = ppo_policy_loss(jnp.array(lp), jnp.array(np.zeros((B, T), np.float32)),
+                                 jnp.array(old), None,
+                                 jnp.array(np.ones((B, T), np.float32)),
+                                 jnp.array(mask),
+                                 PPOLossConfig(use_kl_loss=False))
+    assert float(metrics["actor_train/ppo_ratio_clipfrac"]) == 0.0
+    assert float(metrics["actor_train/ppo_ratio_low_clipfrac"]) == 0.0
+    assert float(metrics["actor_train/ppo_ratio_high_clipfrac"]) == 0.0
+    # sanity: a genuinely clipped real token IS counted
+    old2 = lp.copy()
+    old2[0, 0] = -2.0                     # ratio e^1 > 1.2 on a real token
+    _, m2 = ppo_policy_loss(jnp.array(lp), jnp.array(np.zeros((B, T), np.float32)),
+                            jnp.array(old2), None,
+                            jnp.array(np.ones((B, T), np.float32)),
+                            jnp.array(mask), PPOLossConfig(use_kl_loss=False))
+    assert float(m2["actor_train/ppo_ratio_high_clipfrac"]) > 0.0
+
+
 def test_value_loss():
     rng = np.random.default_rng(1)
     B, T = 3, 6
