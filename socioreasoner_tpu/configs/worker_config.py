@@ -111,6 +111,10 @@ class WorkerConfig:
     checkpoint_config: Optional[Dict[str, Any]] = None
     worker_cls: Optional[str] = None
     format_pattern: Optional[str] = None
+    # remote code-sandbox service URL for CodeSandboxRewardWorker (ref
+    # `code_sandbox_reward_worker.py:505` self.worker_config.code_url);
+    # None -> local subprocess execution
+    code_url: Optional[str] = None
     extra_fields: Dict[str, Any] = field(default_factory=dict)
 
     def resolved_device_mapping(self) -> Optional[List[int]]:

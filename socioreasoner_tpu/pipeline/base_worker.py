@@ -160,9 +160,26 @@ class MathRuleRewardWorker(RuleRewardWorker):
 
 
 class CodeSandboxRewardWorker(RuleRewardWorker):
-    """ref code_sandbox_reward_worker.py (execute generated code vs tests)."""
+    """ref code_sandbox_reward_worker.py (execute generated code vs tests).
+    With `code_url` on the worker config, cases run on the remote sandbox
+    service (ref `:505` / CodeTester); otherwise in a local rlimited
+    subprocess."""
     from .rlvr.rewards.code_sandbox import compute_code_rewards as _fn
     reward_fn = staticmethod(_fn)
+
+    @register(dispatch_mode=Dispatch.DP_MP_COMPUTE)
+    def compute_rewards(self, data: BatchProto) -> BatchProto:
+        url = getattr(self.worker_config, "code_url", None)
+        if url:
+            from .rlvr.rewards.code_sandbox import compute_code_rewards
+            texts = [str(t) for t in data.non_tensor["response_text"]]
+            gts = list(data.non_tensor["ground_truth"])
+            out = compute_code_rewards(texts, gts, code_url=url)
+            tensors = {k: np.asarray(v) for k, v in out.items()
+                       if isinstance(v, (np.ndarray, list))}
+            meta = {k: v for k, v in out.items() if k not in tensors}
+            return BatchProto.from_dict(tensors=tensors, meta=meta)
+        return RuleRewardWorker.compute_rewards(self, data)
 
 
 class CrossThinkQARewardWorker(RuleRewardWorker):

@@ -1,10 +1,17 @@
 """Code-execution reward (ref roll/pipeline/rlvr/rewards/
 code_sandbox_reward_worker.py, 583 LoC + roll/utils/local_code/testing_util.py).
 
-Runs model-generated code against test cases in an isolated subprocess with a
-wall-clock timeout (the reference's "local" execution mode; its remote sandbox
-URL mode is a deployment concern behind the same interface). Two test styles,
-matching the reference: stdin/stdout cases and assert-based function cases.
+Two execution modes behind one `score_response` interface, matching the
+reference:
+  - local (default): isolated subprocess with rlimits + wall-clock timeout
+    (the reference's local_code/testing_util path)
+  - remote: POST each case to a sandbox service URL with the reference's
+    payload schema {compile_timeout, run_timeout, code, language, stdin,
+    expected_stdout} and its retry/judge semantics (ref CodeTester
+    `code_sandbox_reward_worker.py:73-335`) — enabled by `code_url` on the
+    reward worker's config.
+
+Two test styles in both modes: stdin/stdout cases and assert-based cases.
 """
 
 from __future__ import annotations
@@ -15,6 +22,10 @@ import re
 import subprocess
 import sys
 import tempfile
+import time
+import urllib.error
+import urllib.request
+from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np
@@ -108,9 +119,68 @@ def run_assert_case(code: str, test_code: str, timeout: float = 6.0) -> bool:
         return proc is not None and proc.returncode == 0
 
 
-def score_response(response: str, test_cases, timeout: float = 6.0) -> float:
+class RemoteSandbox:
+    """HTTP client for a remote code-execution service (the reference's
+    sandbox URL mode, `code_sandbox_reward_worker.py:73-335`).
+
+    Payload schema and judge semantics mirror the reference's CodeTester:
+    POST one JSON case, retry on HTTP errors / `status: "SandboxError"`;
+    a case passes when `status == "Success"` and (for stdin cases) stripped
+    stdout equals `expected_stdout`. Concurrency is bounded by a thread
+    pool (the reference uses aiohttp with a semaphore of 20)."""
+
+    def __init__(self, url: str, timeout: float = 10.0, max_retries: int = 3,
+                 concurrency: int = 20):
+        self.url = url
+        self.timeout = timeout
+        self.max_retries = max_retries
+        self.concurrency = concurrency
+
+    def _post(self, payload: Dict) -> Optional[Dict]:
+        body = json.dumps(payload).encode()
+        for attempt in range(self.max_retries):
+            req = urllib.request.Request(
+                self.url, data=body,
+                headers={"Content-Type": "application/json",
+                         "Accept": "application/json"})
+            try:
+                with urllib.request.urlopen(req, timeout=self.timeout + 20
+                                            ) as resp:
+                    result = json.loads(resp.read().decode())
+                if result.get("status") == "SandboxError":
+                    time.sleep(min(1.0, self.timeout / 10))
+                    continue
+                return result
+            except (urllib.error.URLError, OSError, ValueError,
+                    json.JSONDecodeError):
+                time.sleep(min(1.0, self.timeout / 10))
+        return None
+
+    def run_case(self, code: str, *, stdin: str = "",
+                 expected_stdout: str = "") -> bool:
+        result = self._post({
+            "compile_timeout": self.timeout, "run_timeout": self.timeout,
+            "code": code, "language": "python",
+            "stdin": stdin, "expected_stdout": expected_stdout})
+        if result is None or result.get("status") != "Success":
+            return False
+        if expected_stdout.strip() == "":
+            return True
+        got = result.get("run_result", {}).get("stdout", "")
+        got_lines = [l.rstrip() for l in got.strip().splitlines()]
+        want_lines = [l.rstrip() for l in expected_stdout.strip().splitlines()]
+        return got_lines == want_lines
+
+    def map_cases(self, fns: List) -> List[bool]:
+        with ThreadPoolExecutor(max_workers=self.concurrency) as pool:
+            return list(pool.map(lambda f: f(), fns))
+
+
+def score_response(response: str, test_cases, timeout: float = 6.0,
+                   sandbox: Optional[RemoteSandbox] = None) -> float:
     """Fraction of test cases passed. test_cases: list of
-    {"input":..., "output":...} or {"assert": code} or a JSON string thereof."""
+    {"input":..., "output":...} or {"assert": code} or a JSON string thereof.
+    With `sandbox`, cases execute on the remote service concurrently."""
     code = extract_code(response)
     if code is None:
         return 0.0
@@ -121,6 +191,18 @@ def score_response(response: str, test_cases, timeout: float = 6.0) -> float:
             return 0.0
     if not test_cases:
         return 0.0
+    if sandbox is not None:
+        fns = []
+        for case in test_cases:
+            if "assert" in case:
+                fns.append(lambda c=case: sandbox.run_case(
+                    code + "\n\n" + c["assert"] + "\n"))
+            else:
+                fns.append(lambda c=case: sandbox.run_case(
+                    code, stdin=c.get("input", ""),
+                    expected_stdout=c.get("output", "")))
+        results = sandbox.map_cases(fns)
+        return sum(results) / len(results)
     passed = 0
     for case in test_cases:
         if "assert" in case:
@@ -133,8 +215,10 @@ def score_response(response: str, test_cases, timeout: float = 6.0) -> float:
 
 
 def compute_code_rewards(responses: Sequence[str], test_cases_list: Sequence,
-                         timeout: float = 6.0) -> Dict:
-    scores = np.array([score_response(r, t, timeout)
+                         timeout: float = 6.0, code_url: Optional[str] = None
+                         ) -> Dict:
+    sandbox = RemoteSandbox(code_url, timeout=timeout) if code_url else None
+    scores = np.array([score_response(r, t, timeout, sandbox=sandbox)
                        for r, t in zip(responses, test_cases_list)], np.float32)
     return {"scores": scores,
             "response_level_rewards": scores,
