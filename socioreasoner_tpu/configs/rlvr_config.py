@@ -159,3 +159,7 @@ class SocioSegConfig(RLVRConfig):
     # decode by streaming requests through the engine's waiting queue (SURVEY
     # §7 hard part (e)). False = strictly sequential stages (parity/debug).
     overlap_restage: bool = True
+    # Restage/segment group granularity for the overlapped path; 0 = derive
+    # from batch size (max(2, min(8, n//2))). Smaller starts host work
+    # sooner; larger batches SAM/ViT better. Env SOCIO_GROUP_SIZE overrides.
+    restage_group_size: int = 0

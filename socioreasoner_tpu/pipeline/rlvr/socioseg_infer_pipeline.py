@@ -162,7 +162,13 @@ class SocioSegInferPipeline(BasePipeline):
         cfg = self.pipeline_config
         n = len(rows)
         if group_size is None:
-            group_size = max(2, min(8, n // 2))
+            # restage granularity: smaller groups start the host restage
+            # sooner (less batching of SAM/ViT work), larger ones batch
+            # better but leave freed slots idle while waiting. Sweepable via
+            # config (restage_group_size) or env for on-chip tuning.
+            group_size = (int(_os.environ.get("SOCIO_GROUP_SIZE", "0"))
+                          or getattr(cfg, "restage_group_size", 0)
+                          or max(2, min(8, n // 2)))
         batch = self.collator(rows)
         rollout = self.param_store.get("rollout")
         ga = cfg.actor_infer.generating_args

@@ -375,7 +375,10 @@ class SocioSegPipeline(BasePipeline):
         B = len(rows)
         N = B * n
         if group_size is None:
-            group_size = max(2, min(8, N // 2))
+            import os as _os
+            group_size = (int(_os.environ.get("SOCIO_GROUP_SIZE", "0"))
+                          or getattr(cfg, "restage_group_size", 0)
+                          or max(2, min(8, N // 2)))
         if ga is None:
             ga = cfg.actor_infer.generating_args
         sp = SamplingParams.from_generating_args(ga)
