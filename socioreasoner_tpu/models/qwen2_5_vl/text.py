@@ -264,7 +264,8 @@ def _decoder_cached_unrolled(cfg: TextConfig, params: Dict, x, cos, sin,
                 shared = swiglu(h2, p["s_gate_w"], p["s_up_w"], p["s_down_w"])
                 moe_out = moe_out + jax.nn.sigmoid(h2 @ p["sgate_w"]) * shared
             x = x + moe_out
-        elif p["gate_w"].dtype in (jnp.int8, jnp.int4):  # weight-only quant
+        elif p["gate_w"].dtype in (jnp.int8, jnp.uint8):  # weight-only quant
+            # (uint8 = nibble-packed int4; S4 arrays never cross jit — quant.py)
             act = (jax.nn.silu(matmul_q(h2, p, "gate_w").astype(jnp.float32))
                    * matmul_q(h2, p, "up_w").astype(jnp.float32))
             x = x + matmul_q(act.astype(h2.dtype), p, "down_w")

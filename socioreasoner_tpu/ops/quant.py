@@ -7,8 +7,9 @@ into the dot's operand load, so no bf16 copy is materialized. The TPU
 counterpart of vLLM's weight-only w8a16 path (SURVEY §2.10 item 3;
 ref third_party vllm quantization role).
 
-int4 (w4a16) quarters the weight traffic: XLA stores `jnp.int4` bit-packed
-(2 values/byte) on TPU. Per-channel scaling is too coarse at 4 bits, so int4
+int4 (w4a16) quarters the weight traffic: weights are nibble-packed into
+uint8 here (2 values/byte; `jnp.int4` storage is avoided — see
+quantize_weight_int4). Per-channel scaling is too coarse at 4 bits, so int4
 uses GROUP-wise symmetric scales (GPTQ/AWQ convention: one f32 scale per
 `INT4_GROUP`-sized slice of the contraction dim per output channel); the
 dequant (convert + broadcast-mul) fuses into the dot operand like int8's
@@ -59,32 +60,63 @@ def quantize_weight_int4(w: jnp.ndarray, axis: int = -2,
                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Symmetric group-wise int4: w ≈ q * scale, one f32 scale per `group`
     contraction elements per output channel. `axis` must be -2 (the
-    contraction dim of every consumer); returns (int4 q same shape as w,
-    f32 scale with the contraction dim reduced to n_groups)."""
+    contraction dim of every consumer).
+
+    Returns (uint8 q with the contraction dim HALVED — two nibbles per byte,
+    element 2i in the low nibble, 2i+1 in the high — and f32 scale with the
+    contraction dim reduced to n_groups). The packing is done HERE rather
+    than relying on jnp.int4 storage: an S4 array passed as a jit argument
+    dies in an infinite device_put relayout recursion on the TPU backend
+    (observed on v5e/axon, jax 0.8: "RecursionError: Recursively calling
+    jit" from _array_shard_arg), so no S4 array may ever cross a jit
+    boundary."""
     if axis != -2:
         raise ValueError("int4 quantization expects contraction axis -2")
     K = w.shape[-2]
     group = min(group, K)                        # tiny test models: K < 128
     if K % group:
         raise ValueError(f"contraction dim {K} not divisible by group {group}")
+    if K % 2:
+        raise ValueError(f"contraction dim {K} must be even for int4 packing")
     wf = w.astype(jnp.float32)
     wg = wf.reshape(*w.shape[:-2], K // group, group, w.shape[-1])
     amax = jnp.max(jnp.abs(wg), axis=-2, keepdims=True)
     scale = jnp.maximum(amax, 1e-8) / 7.0
-    q = jnp.clip(jnp.round(wg / scale), -8, 7).astype(jnp.int4)
-    return q.reshape(w.shape), jnp.squeeze(scale, -2)
+    q = jnp.clip(jnp.round(wg / scale), -8, 7).astype(jnp.int32)
+    return pack_int4(q.reshape(w.shape)), jnp.squeeze(scale, -2)
+
+
+def pack_int4(q: jnp.ndarray) -> jnp.ndarray:
+    """(..., K, N) int values in [-8, 7] → (..., K//2, N) uint8, element 2i
+    in the low nibble and 2i+1 in the high (unpack_int4's inverse)."""
+    K, N = q.shape[-2], q.shape[-1]
+    qq = q.astype(jnp.int32).reshape(*q.shape[:-2], K // 2, 2, N) & 0xF
+    return (qq[..., 0, :] | (qq[..., 1, :] << 4)).astype(jnp.uint8)
+
+
+def unpack_int4(p: jnp.ndarray) -> jnp.ndarray:
+    """(..., K//2, N) uint8 nibble-packed → (..., K, N) int8 in [-8, 7]."""
+    lo = (p & jnp.uint8(0x0F)).astype(jnp.int8)
+    hi = (p >> 4).astype(jnp.int8)
+    lo = (lo ^ jnp.int8(8)) - jnp.int8(8)        # sign-extend the nibble
+    hi = (hi ^ jnp.int8(8)) - jnp.int8(8)
+    w = jnp.stack([lo, hi], axis=-2)             # (..., K//2, 2, N)
+    return w.reshape(*p.shape[:-2], 2 * p.shape[-2], p.shape[-1])
 
 
 def _matmul_int4(h: jnp.ndarray, q: jnp.ndarray, scale: jnp.ndarray
                  ) -> jnp.ndarray:
-    """h @ dequant(q, scale) with group-wise scales (group inferred from the
-    scale shape). Written as one plain dot over a dequantized operand so XLA
-    fuses convert+mul into the MXU operand load (same fusion the int8 path
-    relies on) instead of a G-batched matmul."""
-    K, N = q.shape[-2], q.shape[-1]
+    """h @ dequant(unpack(q), scale) with group-wise scales (group inferred
+    from the scale shape; q is nibble-packed uint8 with the contraction dim
+    halved). Written as one plain dot over a dequantized operand so XLA
+    fuses unpack+convert+mul into the MXU operand load (same fusion the int8
+    path relies on) instead of a G-batched matmul."""
+    K, N = 2 * q.shape[-2], q.shape[-1]
     G = scale.shape[-2]
-    wdq = (q.astype(jnp.float32).reshape(*q.shape[:-2], G, K // G, N)
-           * scale[..., :, None, :]).reshape(q.shape).astype(h.dtype)
+    wdq = (unpack_int4(q).astype(jnp.float32)
+           .reshape(*q.shape[:-2], G, K // G, N)
+           * scale[..., :, None, :]
+           ).reshape(*q.shape[:-2], K, N).astype(h.dtype)
     return h @ wdq
 
 
@@ -95,7 +127,7 @@ def matmul_q(h: jnp.ndarray, p: Dict, name: str) -> jnp.ndarray:
     if w.dtype == jnp.int8:
         y = h @ w.astype(h.dtype)
         return (y * p[name + "_scale"]).astype(h.dtype)
-    if w.dtype == jnp.int4:
+    if w.dtype == jnp.uint8:                     # nibble-packed int4
         return _matmul_int4(h, w, p[name + "_scale"])
     return h @ w
 
@@ -141,12 +173,12 @@ def head_logits(params: Dict, hidden: jnp.ndarray) -> jnp.ndarray:
     if head is not None:
         if head.dtype == jnp.int8:
             return (hidden @ head.astype(hidden.dtype)) * params["lm_head_scale"]
-        if head.dtype == jnp.int4:
+        if head.dtype == jnp.uint8:              # nibble-packed int4
             return _matmul_int4(hidden, head, params["lm_head_scale"])
         return hidden @ head
     head_q = params.get("lm_head_q")
     if head_q is not None:                       # tied + quantized, (H, V)
-        if head_q.dtype == jnp.int4:
+        if head_q.dtype == jnp.uint8:            # nibble-packed int4
             return _matmul_int4(hidden, head_q, params["lm_head_scale"])
         return (hidden @ head_q.astype(hidden.dtype)) * params["lm_head_scale"]
     return hidden @ params["embed"].T

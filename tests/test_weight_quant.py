@@ -35,19 +35,32 @@ def test_quantize_weight_roundtrip():
 
 
 def test_quantize_weight_int4_roundtrip():
+    from socioreasoner_tpu.ops.quant import unpack_int4
     rng = np.random.default_rng(0)
     w = jnp.asarray(rng.normal(size=(2, 256, 48)) * 0.02, jnp.float32)
     q, s = quantize_weight_int4(w, axis=-2)
-    assert q.dtype == jnp.int4 and q.shape == w.shape
+    # nibble-packed uint8, contraction dim halved (S4 never crosses jit —
+    # it dies in a device_put relayout recursion on the TPU backend)
+    assert q.dtype == jnp.uint8 and q.shape == (2, 128, 48)
     assert s.shape == (2, 2, 48)                 # 256 / group(128) = 2 groups
-    back = (q.astype(jnp.float32).reshape(2, 2, 128, 48)
-            * s[:, :, None, :]).reshape(w.shape)
+    vals = unpack_int4(q).astype(jnp.float32)    # (2, 256, 48) in [-8, 7]
+    assert float(vals.min()) >= -8 and float(vals.max()) <= 7
+    back = (vals.reshape(2, 2, 128, 48) * s[:, :, None, :]).reshape(w.shape)
     err = jnp.abs(back - w).reshape(2, 2, 128, 48) / s[:, :, None, :]
     assert float(jnp.max(err)) <= 0.5 + 1e-6     # round-to-nearest per group
     # tiny contraction dims collapse to one group
     q2, s2 = quantize_weight_int4(jnp.asarray(rng.normal(size=(16, 8)),
                                               jnp.float32))
-    assert q2.shape == (16, 8) and s2.shape == (1, 8)
+    assert q2.shape == (8, 8) and s2.shape == (1, 8)
+
+
+def test_pack_unpack_int4_roundtrip():
+    from socioreasoner_tpu.ops.quant import pack_int4, unpack_int4
+    rng = np.random.default_rng(5)
+    vals = jnp.asarray(rng.integers(-8, 8, size=(3, 10, 7)), jnp.int32)
+    packed = pack_int4(vals)
+    assert packed.dtype == jnp.uint8 and packed.shape == (3, 5, 7)
+    assert np.array_equal(np.asarray(unpack_int4(packed)), np.asarray(vals))
 
 
 def _cached_logits(config, params, ids):
@@ -111,7 +124,8 @@ def test_engine_weight_quant_runs(setup, mode):
         DecodeEngine(config, params, weight_quant="fp4")
 
 
-@pytest.mark.parametrize("mode,qdtype", [("int8", jnp.int8), ("int4", jnp.int4)])
+@pytest.mark.parametrize("mode,qdtype", [("int8", jnp.int8),
+                                         ("int4", jnp.uint8)])
 def test_quantized_tied_head(setup, mode, qdtype):
     """Tied-embedding models get a derived quantized lm_head_q; embed stays
     full precision for the gather."""
