@@ -116,7 +116,8 @@ def bench_socioseg(n_tiles: int = None, max_new: int = 256, tiny: bool = False,
         # keep the prefill compile-combo space tiny, so the nondeterministic
         # arrival order of stage-2 requests can never hit a fresh compile in
         # the timed run (each remote prefill compile costs minutes)
-        buckets, max_len = (2048, 4096), 4096
+        max_len = int(os.environ.get("SOCIO_BENCH_MAXLEN", "4096"))
+        buckets = tuple(b for b in (2048, 4096) if b <= max_len) or (max_len,)
     params = qmodel.init_params(model_config, jax.random.key(0),
                                 dtype=jnp.bfloat16, with_vision=True)
     sam_params = smodel.init_params(sam_config, jax.random.key(1),
@@ -153,8 +154,15 @@ def bench_socioseg(n_tiles: int = None, max_new: int = 256, tiny: bool = False,
                        "decode_chunk": 64,
                        "prefill_buckets": buckets,
                        **({} if tiny else
-                          {"image_buckets": (0, 4096),
-                           "prefill_batch_sizes": (2,)}),
+                          # ~1.5k image rows/prompt: the image bucket must
+                          # scale with the admission batch or _next_group can
+                          # never form a full group
+                          {"image_buckets":
+                               (0, 4096 * max(1, int(os.environ.get(
+                                   "SOCIO_BENCH_PREFILL_BATCH", "2")) // 2)),
+                           "prefill_batch_sizes":
+                               (int(os.environ.get("SOCIO_BENCH_PREFILL_BATCH",
+                                                   "2")),)}),
                        # long-prompt prefill activations scale with the
                        # admission batch; cap it so many resident slots fit HBM
                        "max_prefill_batch": 8 if n_tiles > 8 else None,

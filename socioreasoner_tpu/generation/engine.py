@@ -216,6 +216,12 @@ class DecodeEngine:
         self.free_slots = list(range(self.S))
         self.slot_req: Dict[int, Request] = {}
         self.steps_executed = 0           # diagnostic: total decode steps run
+        # wall-time split diagnostics (prefill blocks on the first-token
+        # readback, decode on the chunk readback, so step()-side wall timing
+        # is an honest device-time split; SOCIO_TRACE surfaces these)
+        self.admit_time = 0.0             # s spent admitting (incl. prefill)
+        self.decode_time = 0.0            # s spent in decode chunks
+        self.prefill_hist: Dict[Tuple[int, int, int], int] = {}
         # prefix forking: identical prompts (GRPO n-sampling submits the same
         # prompt n times, ref generate_scheduler per-prompt fan-out) prefill
         # ONCE; siblings device-copy the leader's KV rows and draw their first
@@ -322,6 +328,7 @@ class DecodeEngine:
         callback fired, instead of killing the caller — pending requests in a
         server loop must keep flowing (ref vllm server-mode resilience)."""
         outputs: List[EngineOutput] = []
+        t0 = time.perf_counter()
         while self.waiting and self.free_slots:
             group = self._next_group(outputs)
             if not group:
@@ -337,8 +344,11 @@ class DecodeEngine:
                         if req.slot in self.slot_req:
                             self._release(req.slot)
                     self._finish_error(req, e, outputs)
+        t1 = time.perf_counter()
+        self.admit_time += t1 - t0
         if self.slot_req:
             outputs.extend(self._decode_chunk())
+            self.decode_time += time.perf_counter() - t1
         return outputs
 
     def _finish_error(self, req: Request, e: Exception,
@@ -637,6 +647,8 @@ class DecodeEngine:
             if _target is not None:
                 img = jax.device_put(img, _target)
 
+        hk = (Bp, bucket, img_bucket)
+        self.prefill_hist[hk] = self.prefill_hist.get(hk, 0) + 1
         fn = self._get_prefill(bucket, img_bucket, Bp)
         self._rng, key = jax.random.split(self._rng)
         self.caches, first_tok = fn(

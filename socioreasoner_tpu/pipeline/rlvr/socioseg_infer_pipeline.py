@@ -263,7 +263,9 @@ class SocioSegInferPipeline(BasePipeline):
             e = getattr(w, "engine", None)
             if e is not None:
                 _ev(f"engine[{k}] stats: decode_steps={e.steps_executed} "
-                    f"prefills={e.prefill_rows} forks={e.forked_requests}")
+                    f"prefills={e.prefill_rows} forks={e.forked_requests} "
+                    f"admit_s={e.admit_time:.2f} decode_s={e.decode_time:.2f} "
+                    f"prefill_hist={sorted(e.prefill_hist.items())}")
 
         return {"map_texts": map_texts, "sat_texts": sat_texts,
                 "s1_masks": s1_masks, "s2_masks": s2_masks,
