@@ -120,6 +120,16 @@ def bench_socioseg(n_tiles: int = None, max_new: int = 256, tiny: bool = False,
         buckets = tuple(b for b in (2048, 4096) if b <= max_len) or (max_len,)
     params = qmodel.init_params(model_config, jax.random.key(0),
                                 dtype=jnp.bfloat16, with_vision=True)
+    single_copy = (os.environ.get("SOCIO_BENCH_SINGLE_COPY") == "1"
+                   and weight_quant and not tiny)
+    if single_copy:
+        # single-copy serving: quantize the decoder stacks IN PLACE before
+        # any other reference exists, so the bf16 stacks are freed leaf by
+        # leaf — prefill and decode then share the one quantized tree
+        # (~3.4 GB at 3B instead of 9.3 GB hybrid), which is what unlocks
+        # 16+ slots together with weight quantization on a 16 GB v5e
+        from socioreasoner_tpu.ops.quant import quantize_decode_params
+        quantize_decode_params(params, mode=weight_quant, inplace=True)
     sam_params = smodel.init_params(sam_config, jax.random.key(1),
                                     dtype=jnp.bfloat16)
 
@@ -185,6 +195,7 @@ def bench_socioseg(n_tiles: int = None, max_new: int = 256, tiny: bool = False,
         "max_new_tokens_per_stage": max_new,
         "objects_per_tile": 6, "tile_px": tile_px,
         "kv_quant": kv_quant, "weight_quant": weight_quant,
+        "single_copy_quant": bool(single_copy),
     }
 
 

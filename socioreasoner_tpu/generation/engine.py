@@ -150,13 +150,25 @@ class DecodeEngine:
         elif device is not None:
             params = jax.device_put(params, device)
         self.params = params
-        # HYBRID quantization: decode runs weight-only per-channel int8
-        # (ops/quant.py) — measured 12.9 → 7.0 ms/step at 24 slots on v5e
-        # (weight-HBM traffic is the decode bound) — while prefill keeps the
-        # bf16 params (prefill is MXU-bound so int8 buys nothing, and the
-        # int8 prefill graph crashes the axon remote XLA compiler).
+        # Quantization layouts (ops/quant.py):
+        #  * HYBRID (default with weight_quant): decode runs weight-only
+        #    per-channel int8 — measured 12.9 → 7.0 ms/step at 24 slots on
+        #    v5e (weight-HBM traffic is the decode bound) — while prefill
+        #    keeps the bf16 params. BOTH copies stay resident (~9.3 GB at
+        #    3B), which caps slot count (tiles16+int8w OOMed on v5e).
+        #  * SINGLE-COPY: pass a PRE-quantized tree (quantize_decode_params
+        #    with inplace=True before construction) — detected here; prefill
+        #    and decode then share the one quantized tree (w8a16 prefill:
+        #    the dequant fuses into the MXU operand load) and no bf16 copy
+        #    exists anywhere.
+        from ..ops.quant import params_prequantized
         self.params_q = None
-        if weight_quant:
+        if params_prequantized(params):
+            if config.text.n_experts:
+                raise NotImplementedError(
+                    "pre-quantized params with MoE expert stacks")
+            pass                      # single tree serves prefill AND decode
+        elif weight_quant:
             from ..ops.quant import quantize_decode_params
             self.params_q = quantize_decode_params(params, mode=weight_quant)
         self.S = max_slots
@@ -276,7 +288,10 @@ class DecodeEngine:
         # prefixes cached under the OLD weights must never fork under the new
         # ones (the drained slots' KV rows are stale the moment weights swap)
         self._prefix_registry.clear()
-        if self.weight_quant:
+        from ..ops.quant import params_prequantized
+        if params_prequantized(params):
+            self.params_q = None      # single-copy: one quantized tree
+        elif self.weight_quant:
             from ..ops.quant import quantize_decode_params
             self.params_q = quantize_decode_params(params, mode=self.weight_quant)
 

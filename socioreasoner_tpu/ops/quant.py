@@ -132,21 +132,31 @@ def matmul_q(h: jnp.ndarray, p: Dict, name: str) -> jnp.ndarray:
     return h @ w
 
 
-def quantize_decode_params(params: Dict, mode: str = "int8") -> Dict:
+def quantize_decode_params(params: Dict, mode: str = "int8",
+                           inplace: bool = False) -> Dict:
     """Return a params pytree with decoder matmul stacks + LM head quantized
     (`mode`: "int8" per-output-channel, "int4" group-wise).
 
     The LM head: an untied `lm_head` (H, V) is quantized in place; a tied
     model gets a derived `lm_head_q`/`lm_head_scale` from the embedding rows
-    (embed itself stays bf16 so the token-embedding gather is exact)."""
+    (embed itself stays bf16 so the token-embedding gather is exact).
+
+    inplace=True MUTATES the passed dicts, replacing each bf16 stack the
+    moment its quantized copy exists — if the caller holds the only reference
+    to the tree, each bf16 device buffer is freed by refcount as it is
+    replaced, so peak HBM is the bf16 tree + ONE quantized leaf rather than
+    both full trees. This is the single-copy deployment path: quantize before
+    engine construction and pass the pre-quantized tree (the engine detects
+    it via params_prequantized and uses it for BOTH prefill and decode)."""
     if mode not in ("int8", "int4"):
         raise ValueError(f"quantize_decode_params: unknown mode {mode!r}")
     quant = quantize_weight if mode == "int8" else quantize_weight_int4
-    out = dict(params)
-    layers = dict(params["layers"])
+    out = params if inplace else dict(params)
+    layers = params["layers"] if inplace else dict(params["layers"])
     for name in QUANT_KEYS:
         if name in layers:
             q, s = quant(layers[name], axis=-2)
+            q.block_until_ready()      # bound transient HBM to one leaf pair
             layers[name] = q
             layers[name + "_scale"] = s
     out["layers"] = layers
@@ -165,6 +175,14 @@ def quantize_decode_params(params: Dict, mode: str = "int8") -> Dict:
         out["lm_head_q"] = q
         out["lm_head_scale"] = s
     return out
+
+
+def params_prequantized(params: Dict) -> bool:
+    """True if `params` already carries quantized decoder stacks (produced by
+    quantize_decode_params): the single-copy serving path, where prefill and
+    decode share one quantized tree instead of bf16 + quantized copies."""
+    layers = params.get("layers", {})
+    return any(name + "_scale" in layers for name in QUANT_KEYS)
 
 
 def head_logits(params: Dict, hidden: jnp.ndarray) -> jnp.ndarray:

@@ -124,6 +124,69 @@ def test_engine_weight_quant_runs(setup, mode):
         DecodeEngine(config, params, weight_quant="fp4")
 
 
+def test_single_copy_prequantized_engine(setup):
+    """Single-copy serving: an engine given a PRE-quantized tree uses it for
+    both prefill and decode (no bf16 copy, no re-derivation) and its greedy
+    outputs match the quantized forward's argmax walk exactly."""
+    from socioreasoner_tpu.ops.quant import params_prequantized
+    config, params = setup
+    assert not params_prequantized(params)
+    qparams = quantize_decode_params(params, mode="int8")
+    assert params_prequantized(qparams)
+    engine = DecodeEngine(config, qparams, max_slots=2, max_len=64,
+                          decode_chunk=4, prefill_buckets=(16,),
+                          cache_dtype=jnp.float32, weight_quant="int8")
+    assert engine.params_q is None            # single tree, no second copy
+    assert engine.params is qparams
+    rng = np.random.default_rng(3)
+    prompts = [rng.integers(2, 200, size=7).tolist() for _ in range(2)]
+    outs = engine.generate([
+        Request(request_id=i, prompt_ids=p,
+                sampling=SamplingParams(temperature=0.0, do_sample=False,
+                                        max_new_tokens=5))
+        for i, p in enumerate(prompts)])
+    # reference: greedy argmax walk through the same quantized cached forward
+    for o, prompt in zip(outs, prompts):
+        ids = list(prompt)
+        for got in o.output_ids:
+            logits = _cached_logits(config, qparams,
+                                    jnp.asarray([ids], jnp.int32))
+            want = int(logits[0, -1].argmax())
+            assert got == want
+            ids.append(got)
+
+
+def test_quantize_inplace_frees_and_matches(setup):
+    """inplace=True mutates the caller's tree (same dict object), yields the
+    same quantized values as the copying path, and leaves no bf16 stacks."""
+    from socioreasoner_tpu.ops.quant import QUANT_KEYS, params_prequantized
+    config, params = setup
+    import copy
+    mine = {k: (dict(v) if isinstance(v, dict) else v)
+            for k, v in params.items()}
+    ref = quantize_decode_params(params, mode="int8")
+    out = quantize_decode_params(mine, mode="int8", inplace=True)
+    assert out is mine and params_prequantized(mine)
+    for name in QUANT_KEYS:
+        if name in ref["layers"]:
+            assert mine["layers"][name].dtype == jnp.int8
+            assert np.array_equal(np.asarray(mine["layers"][name]),
+                                  np.asarray(ref["layers"][name]))
+
+
+def test_set_params_prequantized(setup):
+    """set_params with a pre-quantized tree drops the derived copy (swap to
+    single-copy mode mid-flight, e.g. a quantized train→infer sync)."""
+    config, params = setup
+    engine = DecodeEngine(config, params, max_slots=2, max_len=64,
+                          decode_chunk=4, prefill_buckets=(16,),
+                          cache_dtype=jnp.float32, weight_quant="int8")
+    assert engine.params_q is not None        # hybrid: derived copy exists
+    qparams = quantize_decode_params(params, mode="int8")
+    engine.set_params(qparams)
+    assert engine.params_q is None and engine.params is qparams
+
+
 @pytest.mark.parametrize("mode,qdtype", [("int8", jnp.int8),
                                          ("int4", jnp.uint8)])
 def test_quantized_tied_head(setup, mode, qdtype):
