@@ -116,8 +116,17 @@ def bench_socioseg(n_tiles: int = None, max_new: int = 256, tiny: bool = False,
         # keep the prefill compile-combo space tiny, so the nondeterministic
         # arrival order of stage-2 requests can never hit a fresh compile in
         # the timed run (each remote prefill compile costs minutes)
+        # measured prompt lengths at 768px tiles: s1 = 2016 tokens, s2 ≈ 2540
+        # (map+sat ≈ 1458 image rows + text + stage-1 bbox JSON) — the 3072
+        # bucket catches s2 prompts that previously padded to 4096 (38% of
+        # the s2 prefill FLOPs were padding)
         max_len = int(os.environ.get("SOCIO_BENCH_MAXLEN", "4096"))
-        buckets = tuple(b for b in (2048, 4096) if b <= max_len) or (max_len,)
+        if os.environ.get("SOCIO_BENCH_BUCKETS"):
+            buckets = tuple(int(b) for b in
+                            os.environ["SOCIO_BENCH_BUCKETS"].split(","))
+        else:
+            buckets = (tuple(b for b in (2048, 3072, 4096) if b <= max_len)
+                       or (max_len,))
     params = qmodel.init_params(model_config, jax.random.key(0),
                                 dtype=jnp.bfloat16, with_vision=True)
     single_copy = (os.environ.get("SOCIO_BENCH_SINGLE_COPY") == "1"
@@ -160,7 +169,13 @@ def bench_socioseg(n_tiles: int = None, max_new: int = 256, tiny: bool = False,
         cfg, model_config=model_config, policy_params=params,
         sam_config=sam_config, sam_params=sam_params, processor=processor,
         dataset=dataset,
-        engine_kwargs={"max_slots": n_tiles, "max_len": max_len,
+        # slots decoupled from tiles: a queue DEEPER than the slot count keeps
+        # decode occupancy high across the s1→restage→s2 boundary (the r4d
+        # traces show identical configs swinging 702→1786 decode steps purely
+        # on restage-arrival raggedness at tiles == slots)
+        engine_kwargs={"max_slots": int(os.environ.get("SOCIO_BENCH_SLOTS",
+                                                       "0")) or n_tiles,
+                       "max_len": max_len,
                        "decode_chunk": 64,
                        "prefill_buckets": buckets,
                        **({} if tiny else
@@ -183,12 +198,21 @@ def bench_socioseg(n_tiles: int = None, max_new: int = 256, tiny: bool = False,
                        "cache_dtype": jnp.bfloat16})
 
     pipe._two_stage(dataset)                      # warmup: all compiles
+    engines = [w.engine for w in pipe.decode_replicas
+               if getattr(w, "engine", None) is not None]
+    steps0 = sum(e.steps_executed for e in engines)
     t0 = time.perf_counter()
     out = pipe._two_stage(dataset)
     dt = time.perf_counter() - t0
     # realism check: the canned responses must actually drive SAM
     n_mask_px = int(sum(m.sum() > 0 for m in out["s2_masks"]))
     assert n_mask_px == n_tiles, "SAM path not exercised"
+    # decode occupancy diagnostic: tokens decoded / (steps × slots). Low
+    # occupancy = slots idling across the s1→restage→s2 boundary — the
+    # dominant run-to-run noise source at tiles == slots.
+    steps = sum(e.steps_executed for e in engines) - steps0
+    slots = sum(e.S for e in engines)
+    toks = 2 * n_tiles * max_new              # both stages decode max_new
     return n_tiles / dt, {
         "tiles": n_tiles, "batch_latency_s": round(dt, 2),
         "per_tile_latency_s": round(dt / n_tiles, 3),
@@ -196,6 +220,8 @@ def bench_socioseg(n_tiles: int = None, max_new: int = 256, tiny: bool = False,
         "objects_per_tile": 6, "tile_px": tile_px,
         "kv_quant": kv_quant, "weight_quant": weight_quant,
         "single_copy_quant": bool(single_copy),
+        "decode_steps": steps, "slots": slots,
+        "decode_occupancy": round(toks / max(steps * slots, 1), 3),
     }
 
 

@@ -140,6 +140,100 @@ def stage_engine4k():
     log("engine4k stage OK")
 
 
+def stage_chunkloop():
+    """Replicate the decode-CHUNK composition standalone: stacked int8 caches
+    + lax.while_loop of N steps, each step quantize-scatter-writing one token
+    per layer then reading via the paged kernel — the exact cache/kernel
+    interaction of _decoder_cached_unrolled under _decode_loop, minus the
+    transformer math. Flags bisect the trigger:
+
+      --layers N    (36)   --steps N (64)   --slots N (24)  --maxlen N (4096)
+      --no-write    skip the in-place quantize+scatter (read-only kernel loop)
+      --no-kernel   skip the paged kernel (scatter-writes only)
+      --no-donate   don't donate the cache buffers
+      --no-loop     run the body once, no while_loop
+    """
+    import jax
+    import jax.numpy as jnp
+    from socioreasoner_tpu.ops.decode_attention import (paged_decode_attention,
+                                                        quantize_kv)
+
+    args = set(sys.argv[2:])
+
+    def argval(name, default):
+        return (int(sys.argv[sys.argv.index(name) + 1])
+                if name in sys.argv else default)
+
+    layers = argval("--layers", 36)
+    steps = argval("--steps", 64)
+    S = argval("--slots", 24)
+    max_len = argval("--maxlen", 4096)
+    Lalloc = -(-(max_len + 64) // 256) * 256
+    Hkv, D, H = 2, 128, 16
+    write = "--no-write" not in args
+    kernel = "--no-kernel" not in args
+    donate = "--no-donate" not in args
+    loop = "--no-loop" not in args
+    log(f"chunkloop layers={layers} steps={steps} S={S} Lalloc={Lalloc} "
+        f"write={write} kernel={kernel} donate={donate} loop={loop}")
+
+    caches = {
+        "k": jnp.zeros((layers, S, Lalloc, Hkv, D), jnp.int8),
+        "v": jnp.zeros((layers, S, Lalloc, Hkv, D), jnp.int8),
+        "k_scale": jnp.zeros((layers, S, Hkv, Lalloc), jnp.float32),
+        "v_scale": jnp.zeros((layers, S, Hkv, Lalloc), jnp.float32),
+    }
+    lengths0 = jnp.full((S,), 400, jnp.int32)
+    q0 = jnp.asarray(np.random.default_rng(0).normal(size=(S, H, D)),
+                     jnp.bfloat16)
+    bidx = jnp.arange(S)[:, None]
+
+    def body_once(caches, lengths, q, acc):
+        cache_positions = lengths[:, None]
+        k_all, v_all = caches["k"], caches["v"]
+        ks_all, vs_all = caches["k_scale"], caches["v_scale"]
+        for i in range(layers):
+            kv_new = (q[:, :Hkv] * (1.0 + acc))[:, None]     # (S, 1, Hkv, D)
+            if write:
+                kq, ksc = quantize_kv(kv_new)
+                vq, vsc = quantize_kv(kv_new + 1.0)
+                k_all = k_all.at[i, bidx, cache_positions].set(kq)
+                v_all = v_all.at[i, bidx, cache_positions].set(vq)
+                ks_all = ks_all.at[i, bidx, :, cache_positions].set(ksc)
+                vs_all = vs_all.at[i, bidx, :, cache_positions].set(vsc)
+            if kernel:
+                out = paged_decode_attention(q, k_all, v_all, lengths + 1,
+                                             ks_all, vs_all, layer=i)
+                acc = acc + out.astype(jnp.float32).mean()
+        return (dict(caches, k=k_all, v=v_all, k_scale=ks_all, v_scale=vs_all),
+                lengths + 1, acc)
+
+    def chunk(caches, lengths, q):
+        if not loop:
+            caches, lengths, acc = body_once(caches, lengths, q,
+                                             jnp.float32(0.0))
+            return caches, lengths, acc
+
+        def cond(c):
+            return c[0] < steps
+
+        def wbody(c):
+            i, caches, lengths, acc = c
+            caches, lengths, acc = body_once(caches, lengths, q, acc)
+            return (i + 1, caches, lengths, acc)
+
+        _, caches, lengths, acc = jax.lax.while_loop(
+            cond, wbody, (jnp.int32(0), caches, lengths, jnp.float32(0.0)))
+        return caches, lengths, acc
+
+    fn = jax.jit(chunk, donate_argnums=(0,) if donate else ())
+    t0 = time.perf_counter()
+    caches, lengths, acc = fn(caches, lengths0, q0)
+    val = float(acc)                       # blocks
+    log(f"chunkloop OK: acc={val:.4f} in {time.perf_counter() - t0:.1f}s "
+        f"(incl. compile); {mem()}")
+
+
 def stage_bench():
     import os
     os.environ["SOCIO_BENCH_TILES"] = "24"
@@ -154,4 +248,5 @@ if __name__ == "__main__":
     stage = sys.argv[1]
     log(f"stage {stage} starting")
     dict(kernel=stage_kernel, engine=stage_engine, engine4k=stage_engine4k,
-         resident=stage_resident, bench=stage_bench)[stage]()
+         resident=stage_resident, bench=stage_bench,
+         chunkloop=stage_chunkloop)[stage]()

@@ -36,7 +36,7 @@ _KNOWN: Dict[str, Set[str]] = {
         "kv_quant", "weight_quant", "dp_size", "max_slots", "max_len",
         "decode_chunk", "prefill_buckets", "image_buckets",
         "max_prefill_batch", "sampler_exact", "prefill_batch_sizes",
-        "tensor_model_parallel_size", "prefix_fork",
+        "tensor_model_parallel_size", "prefix_fork", "single_copy_quant",
     },
     "seg_infer": {"seg_encode_batch", "seg_embed_cache"},
 }
@@ -65,6 +65,10 @@ def validate_worker(role: str, wc: Optional[WorkerConfig],
         if sc.get(key) not in values:
             raise ValueError(
                 f"role {role}: {key}={sc[key]!r} — must be one of {values}")
+    if sc.get("single_copy_quant") and not sc.get("weight_quant"):
+        raise ValueError(
+            f"role {role}: single_copy_quant requires weight_quant "
+            "(the single shared tree IS the quantized one)")
     if sc.get("context_parallel_impl", "ring") not in ("ring", "ulysses"):
         raise ValueError(
             f"role {role}: context_parallel_impl={sc['context_parallel_impl']!r}"

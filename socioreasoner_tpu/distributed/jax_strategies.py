@@ -399,12 +399,28 @@ class JaxDecodeStrategy(InferenceStrategy):
         if params is not None:
             self.param_store.put("rollout", params)
         self.engine_kwargs = dict(engine_kwargs or {})
+        # single-copy quantized serving: quantize the rollout tree ONCE here
+        # and store the quantized tree (dropping the store's bf16 reference);
+        # the engine detects the pre-quantized tree and shares it between
+        # prefill and decode instead of keeping bf16 + int8 copies resident
+        self._single_copy = self.engine_kwargs.pop("single_copy_quant", False)
+        if self._single_copy:
+            if not self.engine_kwargs.get("weight_quant"):
+                raise ValueError("single_copy_quant requires weight_quant")
+            self._quantize_store()
         if mesh is not None:
             # TP decode engine (ICI-sharded weights + paged KV cache) — the
             # tp counterpart of the reference's vLLM tensor_parallel_size
             self.engine_kwargs.setdefault("mesh", mesh)
         self._build_engine()
         self.server: Optional[GenerateServer] = None
+
+    def _quantize_store(self):
+        from ..ops.quant import params_prequantized, quantize_decode_params
+        tree = self.param_store.get("rollout")
+        if not params_prequantized(tree):
+            self.param_store.put("rollout", quantize_decode_params(
+                tree, mode=self.engine_kwargs["weight_quant"]))
 
     def _build_engine(self):
         self.engine = DecodeEngine(self.model_config,
@@ -424,6 +440,10 @@ class JaxDecodeStrategy(InferenceStrategy):
                 f"requests ({self.engine.num_running()} running, "
                 f"{self.engine.num_waiting()} waiting); drain/stop generation "
                 "before swapping weights")
+        if getattr(self, "_single_copy", False):
+            # fresh bf16 weights from the trainer: quantize, keep only the
+            # quantized tree in the store (the trainer retains its own copy)
+            self._quantize_store()
         self.engine.set_params(self.param_store.get("rollout"))
 
     # ------------------------------------------------------------- batch mode

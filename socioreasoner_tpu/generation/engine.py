@@ -233,6 +233,7 @@ class DecodeEngine:
         # is an honest device-time split; SOCIO_TRACE surfaces these)
         self.admit_time = 0.0             # s spent admitting (incl. prefill)
         self.decode_time = 0.0            # s spent in decode chunks
+        self.prefill_device_time = 0.0    # s inside the jitted prefill call
         self.prefill_hist: Dict[Tuple[int, int, int], int] = {}
         # prefix forking: identical prompts (GRPO n-sampling submits the same
         # prompt n times, ref generate_scheduler per-prompt fan-out) prefill
@@ -642,19 +643,24 @@ class DecodeEngine:
         if not img_bucket:
             img = None
         elif any(not isinstance(e, np.ndarray) for e in imgs):
-            # device-resident embeds (ViT output stays on device): build the
-            # table with dynamic_update_slice — no host round-trip
-            img = jnp.zeros((img_bucket, self.config.text.hidden_size),
-                            self._embed_dtype)
-            if _target is not None:
-                img = jax.device_put(img, _target)
-            off = 0
+            # device-resident embeds (ViT output stays on device): ONE padded
+            # concatenate (a single dispatch) instead of a dynamic_update_
+            # slice per request — each out-of-jit primitive is a separate
+            # device execution, which costs real latency through the axon
+            # relay at SocioSeg's 2-images-per-prompt admission rate
+            parts = []
             for e in imgs:
                 if _target is not None and not isinstance(e, np.ndarray):
                     e = jax.device_put(e, _target)
-                img = jax.lax.dynamic_update_slice(
-                    img, jnp.asarray(e, self._embed_dtype), (off, 0))
-                off += int(e.shape[0])
+                parts.append(jnp.asarray(e, self._embed_dtype))
+            if img_bucket > n_img_total:
+                pad = jnp.zeros((img_bucket - n_img_total,
+                                 self.config.text.hidden_size),
+                                self._embed_dtype)
+                if _target is not None:
+                    pad = jax.device_put(pad, _target)
+                parts.append(pad)
+            img = jnp.concatenate(parts, axis=0)
         else:
             img = np.zeros((img_bucket, self.config.text.hidden_size), np.float32)
             img[:n_img_total] = np.concatenate(imgs, axis=0)
@@ -666,12 +672,14 @@ class DecodeEngine:
         self.prefill_hist[hk] = self.prefill_hist.get(hk, 0) + 1
         fn = self._get_prefill(bucket, img_bucket, Bp)
         self._rng, key = jax.random.split(self._rng)
+        tdev = time.perf_counter()
         self.caches, first_tok = fn(
             self.params, self.caches, jnp.asarray(ids), jnp.asarray(pos),
             jnp.asarray(attn), jnp.asarray(slots), jnp.asarray(Ps),
             img, key, jnp.asarray(temps), jnp.asarray(top_ps),
             jnp.asarray(top_ks))
-        toks = np.asarray(first_tok)
+        toks = np.asarray(first_tok)     # blocks → true device prefill time
+        self.prefill_device_time += time.perf_counter() - tdev
         self._dev_dirty = True
         # cache holds the P prompt tokens; the first sampled token is written
         # at position P (= lengths) by the first decode step

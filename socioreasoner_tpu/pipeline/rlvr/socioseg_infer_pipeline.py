@@ -265,6 +265,7 @@ class SocioSegInferPipeline(BasePipeline):
                 _ev(f"engine[{k}] stats: decode_steps={e.steps_executed} "
                     f"prefills={e.prefill_rows} forks={e.forked_requests} "
                     f"admit_s={e.admit_time:.2f} decode_s={e.decode_time:.2f} "
+                    f"prefill_dev_s={e.prefill_device_time:.2f} "
                     f"prefill_hist={sorted(e.prefill_hist.items())}")
 
         return {"map_texts": map_texts, "sat_texts": sat_texts,

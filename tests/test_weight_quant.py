@@ -187,6 +187,52 @@ def test_set_params_prequantized(setup):
     assert engine.params_q is None and engine.params is qparams
 
 
+def test_decode_strategy_single_copy_quant(setup):
+    """strategy knob single_copy_quant: the rollout store ends up holding the
+    quantized tree (bf16 store ref dropped) and the engine runs single-copy;
+    model_update with fresh bf16 weights re-quantizes into the store."""
+    from socioreasoner_tpu.distributed.jax_strategies import JaxDecodeStrategy
+    from socioreasoner_tpu.distributed.strategy import ParamStore
+    from socioreasoner_tpu.ops.quant import params_prequantized
+    config, params = setup
+    store = ParamStore()
+    store.put("rollout", params)
+    strat = JaxDecodeStrategy(param_store=store)
+    strat.initialize(config, engine_kwargs={
+        "max_slots": 2, "max_len": 64, "decode_chunk": 4,
+        "prefill_buckets": (16,), "cache_dtype": jnp.float32,
+        "weight_quant": "int8", "single_copy_quant": True})
+    assert params_prequantized(store.get("rollout"))
+    assert strat.engine.params_q is None
+    assert strat.engine.params is store.get("rollout")
+    # fresh bf16 weights (a train step) → re-quantized on model_update
+    params2 = qmodel.init_params(config, jax.random.key(8), dtype=jnp.float32,
+                                 with_vision=False)
+    store.put("rollout", params2)
+    strat.model_update()
+    assert params_prequantized(store.get("rollout"))
+    assert strat.engine.params_q is None
+    # knob without weight_quant is rejected
+    with pytest.raises(ValueError):
+        JaxDecodeStrategy(param_store=store).initialize(
+            config, engine_kwargs={"max_slots": 2, "max_len": 64,
+                                   "decode_chunk": 4, "prefill_buckets": (16,),
+                                   "single_copy_quant": True})
+
+
+def test_validation_single_copy_requires_weight_quant():
+    from socioreasoner_tpu.configs.validation import validate_worker
+    from socioreasoner_tpu.configs.worker_config import WorkerConfig
+    wc = WorkerConfig(world_size=1)
+    wc.strategy_args.strategy_name = "jax_decode"
+    wc.strategy_args.strategy_config = {"single_copy_quant": True}
+    with pytest.raises(ValueError, match="single_copy_quant"):
+        validate_worker("actor_infer", wc, 1)
+    wc.strategy_args.strategy_config = {"single_copy_quant": True,
+                                        "weight_quant": "int8"}
+    validate_worker("actor_infer", wc, 1)
+
+
 @pytest.mark.parametrize("mode,qdtype", [("int8", jnp.int8),
                                          ("int4", jnp.uint8)])
 def test_quantized_tied_head(setup, mode, qdtype):
