@@ -87,8 +87,15 @@ def stage_kernel():
 
 def _text_engine(kv_quant="int8", with_resident=False, slots=24,
                  max_len=4096, n_new=129, prompt_len=400):
+    import os
+
     import jax
     import jax.numpy as jnp
+    if "--dense" in sys.argv:
+        # disable the Pallas decode/flash kernels: dense dequant fallback.
+        # If the engine STILL crashes dense, the paged kernel is exonerated
+        # in the full-engine context too.
+        os.environ["SOCIO_DISABLE_FLASH"] = "1"
     from socioreasoner_tpu.generation.engine import DecodeEngine, Request
     from socioreasoner_tpu.generation.sampling import SamplingParams
     from socioreasoner_tpu.models.qwen2_5_vl import model as qmodel
@@ -138,6 +145,51 @@ def stage_engine4k():
     # 4096-token prompts + 256 new at 24 slots)
     _text_engine(with_resident=False, prompt_len=4000, n_new=257)
     log("engine4k stage OK")
+
+
+def stage_prefillscatter():
+    """Replicate the PREFILL's final quantized-cache scatter standalone.
+
+    chunkloop (the decode composition) passed on-chip, so the engine-stage
+    crash suspect moves to the prefill graph: its int8 + scale scatters
+    (`caches[k].at[:, slots, :bucket].set(upd, mode="drop")`) execute
+    asynchronously AFTER the first-token readback the host blocks on — a
+    fault there surfaces at the NEXT readback, i.e. inside the first decode
+    chunk, exactly the observed signature."""
+    import jax
+    import jax.numpy as jnp
+
+    layers, S, Lalloc, Hkv, D = 36, 24, 4352, 2, 128
+    bucket, B = 512, 2
+    caches = {
+        "k": jnp.zeros((layers, S, Lalloc, Hkv, D), jnp.int8),
+        "v": jnp.zeros((layers, S, Lalloc, Hkv, D), jnp.int8),
+        "k_scale": jnp.zeros((layers, S, Hkv, Lalloc), jnp.float32),
+        "v_scale": jnp.zeros((layers, S, Hkv, Lalloc), jnp.float32),
+    }
+    rng = np.random.default_rng(0)
+
+    def scatter(caches, upd_kv, upd_sc, slots):
+        out = {}
+        for name in ("k", "v"):
+            out[name] = caches[name].at[:, slots, :bucket].set(
+                upd_kv.astype(jnp.int8), mode="drop")
+        for name in ("k_scale", "v_scale"):
+            out[name] = caches[name].at[:, slots, :, :bucket].set(
+                upd_sc, mode="drop")
+        return out
+
+    fn = jax.jit(scatter, donate_argnums=(0,))
+    for it in range(12):
+        upd_kv = jnp.asarray(
+            rng.integers(-127, 127, size=(layers, B, bucket, Hkv, D)), jnp.int8)
+        upd_sc = jnp.asarray(
+            rng.normal(size=(layers, B, Hkv, bucket)).astype(np.float32))
+        slots = jnp.asarray([it % S, (it + 7) % S], jnp.int32)
+        caches = fn(caches, upd_kv, upd_sc, slots)
+        s = float(caches["k_scale"].sum())      # force readback each iter
+        log(f"iter {it} scatter ok (scale sum {s:.2f}); {mem()}")
+    log("prefillscatter stage OK")
 
 
 def stage_chunkloop():
@@ -249,4 +301,5 @@ if __name__ == "__main__":
     log(f"stage {stage} starting")
     dict(kernel=stage_kernel, engine=stage_engine, engine4k=stage_engine4k,
          resident=stage_resident, bench=stage_bench,
-         chunkloop=stage_chunkloop)[stage]()
+         chunkloop=stage_chunkloop,
+         prefillscatter=stage_prefillscatter)[stage]()

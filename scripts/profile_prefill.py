@@ -49,25 +49,58 @@ def main():
     log(f"params ready (weight_quant={wq})")
 
     buckets = (2048, 3072, 4096)
+    # prefix_fork OFF: identical prompts would fork from the registry instead
+    # of prefilling (the first run of this script measured 1 ms "prefills")
     engine = DecodeEngine(config, params, max_slots=24, max_len=4096,
                           decode_chunk=64, prefill_buckets=buckets,
                           image_buckets=(0, 4096), prefill_batch_sizes=(2,),
-                          weight_quant=wq)
+                          weight_quant=wq, prefix_fork=False)
     rng = np.random.default_rng(0)
     n_img = 1458
     embeds = jnp.asarray(rng.normal(size=(n_img, config.text.hidden_size)),
                          jnp.bfloat16)
     embeds.block_until_ready()
 
-    def make_reqs(plen, tag):
+    def make_reqs(plen, tag, it=0):
         # image tokens must exist in the prompt for the scatter; use the
-        # image_token_id at the front like a real SocioSeg prompt
+        # image_token_id at the front like a real SocioSeg prompt. The text
+        # tail varies per (tag, it, i) so no two prompts are ever identical.
         ids = np.full(plen, 42, np.int64)
         ids[:n_img] = config.image_token_id
-        return [Request(request_id=(tag, i), prompt_ids=ids.tolist(),
-                        image_embeds=embeds,
-                        sampling=SamplingParams(max_new_tokens=4))
-                for i in range(2)]
+        reqs = []
+        for i in range(2):
+            u = ids.copy()
+            u[-1] = 100 + 31 * it + i        # uniquify
+            reqs.append(Request(request_id=(tag, it, i),
+                                prompt_ids=u.tolist(), image_embeds=embeds,
+                                sampling=SamplingParams(max_new_tokens=4)))
+        return reqs
+
+    # image-table ablation: same buckets, no images (img_bucket 0) — isolates
+    # the fixed cost of the 4096-row image table + scatter from the text path
+    def make_text_reqs(plen, tag, it=0):
+        reqs = []
+        for i in range(2):
+            ids = np.full(plen, 42, np.int64)
+            ids[-1] = 500 + 31 * it + i
+            reqs.append(Request(request_id=("t", tag, it, i),
+                                prompt_ids=ids.tolist(),
+                                sampling=SamplingParams(max_new_tokens=4)))
+        return reqs
+
+    for b in (2048, 4096):
+        engine._admit_group(make_text_reqs(b - 32, f"w{b}"), [])
+        for s in list(engine.slot_req):
+            engine._release(s)
+        ts = []
+        for it in range(iters):
+            t0 = time.perf_counter()
+            engine._admit_group(make_text_reqs(b - 32, b, it), [])
+            ts.append(time.perf_counter() - t0)
+            for s in list(engine.slot_req):
+                engine._release(s)
+        log(f"bucket {b} NO-IMAGE: {np.mean(ts)*1e3:.0f} ± "
+            f"{np.std(ts)*1e3:.0f} ms")
 
     results = {}
     for b in buckets:
@@ -81,7 +114,7 @@ def main():
         for it in range(iters):
             outs = []
             t0 = time.perf_counter()
-            engine._admit_group(make_reqs(plen, (b, it)), outs)
+            engine._admit_group(make_reqs(plen, b, it), outs)
             ts.append(time.perf_counter() - t0)
             for s in list(engine.slot_req):
                 engine._release(s)
