@@ -179,12 +179,12 @@ def bench_socioseg(n_tiles: int = None, max_new: int = 256, tiny: bool = False,
                        "decode_chunk": 64,
                        "prefill_buckets": buckets,
                        **({} if tiny else
-                          # ~1.5k image rows/prompt: the image bucket must
-                          # scale with the admission batch or _next_group can
-                          # never form a full group
+                          # 1458 image rows/prompt at 768px: the image bucket
+                          # must hold a full admission batch or _next_group
+                          # can never form one (1536 rows headroom per slot)
                           {"image_buckets":
-                               (0, 4096 * max(1, int(os.environ.get(
-                                   "SOCIO_BENCH_PREFILL_BATCH", "2")) // 2)),
+                               (0, 1536 * int(os.environ.get(
+                                   "SOCIO_BENCH_PREFILL_BATCH", "2"))),
                            "prefill_batch_sizes":
                                (int(os.environ.get("SOCIO_BENCH_PREFILL_BATCH",
                                                    "2")),)}),

@@ -114,7 +114,12 @@ def _text_engine(kv_quant="int8", with_resident=False, slots=24,
     log(f"params ready; {mem()}")
     engine = DecodeEngine(config, params, max_slots=slots, max_len=max_len,
                           decode_chunk=64, prefill_buckets=(512, 1024, 2048, 4096),
-                          max_prefill_batch=8, kv_quant=kv_quant)
+                          max_prefill_batch=8, kv_quant=kv_quant,
+                          # --exact: lax.top_k sampling instead of
+                          # approx_max_k (TPU PartialReduce) — discriminates
+                          # whether PartialReduce + Mosaic kernel in one
+                          # while_loop body is the engine-stage fault trigger
+                          sampler_exact="--exact" in sys.argv)
     log(f"engine built (Lalloc={engine.Lalloc}); {mem()}")
     rng = np.random.default_rng(0)
     sp = SamplingParams(temperature=1.0, top_p=0.8, max_new_tokens=n_new)
@@ -204,11 +209,20 @@ def stage_chunkloop():
       --no-kernel   skip the paged kernel (scatter-writes only)
       --no-donate   don't donate the cache buffers
       --no-loop     run the body once, no while_loop
+      --sample      add an approx_max_k (TPU PartialReduce) + categorical
+                    sample per step like the real decode loop
+      --mlp         add a (S, H)x(H, 4H)x(4H, H) matmul pair per layer
+                    (VMEM-pressure stand-in for the transformer MLP)
     """
+    import functools
+
     import jax
     import jax.numpy as jnp
-    from socioreasoner_tpu.ops.decode_attention import (paged_decode_attention,
-                                                        quantize_kv)
+    from socioreasoner_tpu.ops.decode_attention import quantize_kv
+    from socioreasoner_tpu.ops.decode_attention import (
+        paged_decode_attention as _pda)
+    from socioreasoner_tpu.ops.flags import on_tpu
+    paged_decode_attention = functools.partial(_pda, interpret=not on_tpu())
 
     args = set(sys.argv[2:])
 
@@ -226,8 +240,16 @@ def stage_chunkloop():
     kernel = "--no-kernel" not in args
     donate = "--no-donate" not in args
     loop = "--no-loop" not in args
+    sample = "--sample" in args
+    mlp = "--mlp" in args
     log(f"chunkloop layers={layers} steps={steps} S={S} Lalloc={Lalloc} "
-        f"write={write} kernel={kernel} donate={donate} loop={loop}")
+        f"write={write} kernel={kernel} donate={donate} loop={loop} "
+        f"sample={sample} mlp={mlp}")
+    hidden, V = 2048, 151936
+    mlp_w = (jnp.asarray(np.random.default_rng(1).normal(
+                 size=(hidden, 4 * hidden)) * 0.01, jnp.bfloat16),
+             jnp.asarray(np.random.default_rng(2).normal(
+                 size=(4 * hidden, hidden)) * 0.01, jnp.bfloat16)) if mlp else None
 
     caches = {
         "k": jnp.zeros((layers, S, Lalloc, Hkv, D), jnp.int8),
@@ -257,6 +279,22 @@ def stage_chunkloop():
                 out = paged_decode_attention(q, k_all, v_all, lengths + 1,
                                              ks_all, vs_all, layer=i)
                 acc = acc + out.astype(jnp.float32).mean()
+            if mlp:
+                h = jnp.broadcast_to(acc, (S, hidden)).astype(jnp.bfloat16)
+                h = jax.nn.silu(h @ mlp_w[0]) @ mlp_w[1]
+                acc = acc + h.astype(jnp.float32).mean()
+        if sample:
+            # the real decode loop ends each step with approx_max_k (TPU
+            # PartialReduce) over (S, V) + a categorical draw
+            logits = jnp.broadcast_to(acc, (S, V)).astype(jnp.float32)
+            logits = logits + jax.lax.broadcasted_iota(
+                jnp.float32, (S, V), 1) * 1e-6
+            vals, idx = jax.lax.approx_max_k(logits, 256, recall_target=0.95)
+            key = jax.random.fold_in(jax.random.key(0),
+                                     lengths[0].astype(jnp.uint32))
+            choice = jax.random.categorical(key, vals, axis=-1)
+            tok = jnp.take_along_axis(idx, choice[:, None], axis=-1)[:, 0]
+            acc = acc + tok.astype(jnp.float32).mean() * 1e-9
         return (dict(caches, k=k_all, v=v_all, k_scale=ks_all, v_scale=vs_all),
                 lengths + 1, acc)
 
