@@ -195,6 +195,10 @@ def bench_socioseg(n_tiles: int = None, max_new: int = 256, tiny: bool = False,
                        # slots) — env-gated until verified on-chip end to end
                        "kv_quant": None if tiny else kv_quant,
                        "weight_quant": None if tiny else weight_quant,
+                       # w8a8 prefill (int8×int8 MXU, 2× bf16 peak)
+                       "act_quant": (None if tiny else
+                                     os.environ.get("SOCIO_BENCH_ACT_QUANT")
+                                     or None),
                        "cache_dtype": jnp.bfloat16})
 
     pipe._two_stage(dataset)                      # warmup: all compiles

@@ -54,7 +54,9 @@ def main():
     engine = DecodeEngine(config, params, max_slots=24, max_len=4096,
                           decode_chunk=64, prefill_buckets=buckets,
                           image_buckets=(0, 4096), prefill_batch_sizes=(2,),
-                          weight_quant=wq, prefix_fork=False)
+                          weight_quant=wq, prefix_fork=False,
+                          act_quant="int8" if "--act-quant" in sys.argv
+                          else None)
     rng = np.random.default_rng(0)
     n_img = 1458
     embeds = jnp.asarray(rng.normal(size=(n_img, config.text.hidden_size)),

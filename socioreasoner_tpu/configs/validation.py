@@ -37,12 +37,14 @@ _KNOWN: Dict[str, Set[str]] = {
         "decode_chunk", "prefill_buckets", "image_buckets",
         "max_prefill_batch", "sampler_exact", "prefill_batch_sizes",
         "tensor_model_parallel_size", "prefix_fork", "single_copy_quant",
+        "act_quant",
     },
     "seg_infer": {"seg_encode_batch", "seg_embed_cache"},
 }
 
 _QUANT_VALUES = {"kv_quant": (None, "int8"),
-                 "weight_quant": (None, "int8", "int4")}
+                 "weight_quant": (None, "int8", "int4"),
+                 "act_quant": (None, "int8")}
 
 
 def validate_worker(role: str, wc: Optional[WorkerConfig],
@@ -69,6 +71,10 @@ def validate_worker(role: str, wc: Optional[WorkerConfig],
         raise ValueError(
             f"role {role}: single_copy_quant requires weight_quant "
             "(the single shared tree IS the quantized one)")
+    if sc.get("act_quant") and sc.get("weight_quant") != "int8":
+        raise ValueError(
+            f"role {role}: act_quant requires weight_quant: 'int8' "
+            "(w8a8 runs on the int8 weight tree)")
     if sc.get("context_parallel_impl", "ring") not in ("ring", "ulysses"):
         raise ValueError(
             f"role {role}: context_parallel_impl={sc['context_parallel_impl']!r}"

@@ -107,7 +107,8 @@ class DecodeEngine:
                  max_prefill_batch: Optional[int] = None, seed: int = 0,
                  device=None, sampler_exact: bool = False,
                  prefill_batch_sizes: Optional[Tuple[int, ...]] = None,
-                 mesh=None, tp_axis: str = "tp", prefix_fork: bool = True):
+                 mesh=None, tp_axis: str = "tp", prefix_fork: bool = True,
+                 act_quant: Optional[str] = None):
         self.config = config
         if weight_quant not in (None, "int8", "int4"):
             raise ValueError(f"weight_quant must be None, 'int8' or 'int4', "
@@ -115,6 +116,16 @@ class DecodeEngine:
         if weight_quant and config.text.n_experts:
             raise NotImplementedError("weight_quant with MoE expert stacks")
         self.weight_quant = weight_quant
+        # w8a8 prefill (ops/quant.py matmul_w8a8): int8×int8 MXU matmuls on
+        # the compute-bound multi-token pass — v5e int8 peak is 2× bf16.
+        # Decode keeps w8a16 (weight-HBM-bound). Requires int8 weights.
+        if act_quant not in (None, "int8"):
+            raise ValueError(f"act_quant must be None or 'int8', "
+                             f"got {act_quant!r}")
+        if act_quant and weight_quant != "int8":
+            raise ValueError("act_quant='int8' requires weight_quant='int8' "
+                             "(w8a8 runs on the int8 weight tree)")
+        self.act_quant = bool(act_quant)
         # device pinning for DP decode replicas (ref vllm dp = world_size,
         # vllm_strategy.py:98-99): committed params pull every jit call —
         # caches, slot state, sampling — onto this replica's chip
@@ -673,8 +684,13 @@ class DecodeEngine:
         fn = self._get_prefill(bucket, img_bucket, Bp)
         self._rng, key = jax.random.split(self._rng)
         tdev = time.perf_counter()
+        # w8a8 prefill in HYBRID quant mode runs on the int8 tree (in
+        # single-copy mode self.params IS the int8 tree already)
+        pf_params = (self.params_q
+                     if self.act_quant and self.params_q is not None
+                     else self.params)
         self.caches, first_tok = fn(
-            self.params, self.caches, jnp.asarray(ids), jnp.asarray(pos),
+            pf_params, self.caches, jnp.asarray(ids), jnp.asarray(pos),
             jnp.asarray(attn), jnp.asarray(slots), jnp.asarray(Ps),
             img, key, jnp.asarray(temps), jnp.asarray(top_ps),
             jnp.asarray(top_ks))
@@ -816,7 +832,8 @@ class DecodeEngine:
         hidden, new_cache = qmodel.forward(
             cfg, params, ids, pos, None, image_embeds=image_embeds,
             cache=local, cache_positions=cache_positions,
-            use_flash=use_flash_attention(), logits=False, tp=self.tp)
+            use_flash=use_flash_attention(), logits=False, tp=self.tp,
+            act_quant=self.act_quant)
         last_hidden = jnp.take_along_axis(
             hidden, (Ps - 1)[:, None, None].astype(jnp.int32), axis=1)[:, 0]
         tok = sample_tokens(head_logits(params, last_hidden), key,

@@ -60,6 +60,7 @@ def forward(
     cp=None,
     pp=None,
     tp=None,   # (mesh, axis): head-shard the cache-path pallas kernels (decode engine TP)
+    act_quant: bool = False,   # w8a8 matmuls on the cached multi-token pass
 ) -> Tuple[jnp.ndarray, Optional[Dict]]:
     """Returns (logits or hidden, new_cache).
 
@@ -112,7 +113,8 @@ def forward(
         tcfg, params, embeds, cos, sin, attention_mask,
         q_positions=q_positions, cache=cache, cache_positions=cache_positions,
         remat=remat, use_flash=use_flash, cp=cp if cache is None else None,
-        pp=pp if cache is None else None, tp=tp if cache is not None else None)
+        pp=pp if cache is None else None, tp=tp if cache is not None else None,
+        act_quant=act_quant)
     if not logits:
         return hidden, new_cache
     from ...ops.quant import head_logits

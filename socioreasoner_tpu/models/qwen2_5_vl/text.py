@@ -167,7 +167,7 @@ def decoder_layer(cfg: TextConfig, p: Dict, x, cos, sin, attention_mask, q_posit
 
 def _decoder_cached_unrolled(cfg: TextConfig, params: Dict, x, cos, sin,
                              cache: Dict, cache_positions, use_flash: bool,
-                             tp=None):
+                             tp=None, act_quant: bool = False):
     """Cache-mode decoder WITHOUT lax.scan over layers.
 
     scan xs→ys buffers cannot alias, so scanning the stacked KV cache copies
@@ -208,12 +208,16 @@ def _decoder_cached_unrolled(cfg: TextConfig, params: Dict, x, cos, sin,
 
     from ...ops.quant import matmul_q
 
+    # w8a8 only pays off on the compute-bound multi-token pass (prefill);
+    # single-token decode is weight-HBM-bound and stays w8a16
+    a8 = bool(act_quant) and L > 1
+
     for i in range(cfg.num_hidden_layers):
         p = {key: arr[i] for key, arr in params["layers"].items()}
         h = rms_norm(x, p["input_ln"], cfg.rms_norm_eps)
-        q = (matmul_q(h, p, "q_w") + p["q_b"]).reshape(B, L, H, D)
-        k = (matmul_q(h, p, "k_w") + p["k_b"]).reshape(B, L, Hkv, D)
-        v = (matmul_q(h, p, "v_w") + p["v_b"]).reshape(B, L, Hkv, D)
+        q = (matmul_q(h, p, "q_w", a8=a8) + p["q_b"]).reshape(B, L, H, D)
+        k = (matmul_q(h, p, "k_w", a8=a8) + p["k_b"]).reshape(B, L, Hkv, D)
+        v = (matmul_q(h, p, "v_w", a8=a8) + p["v_b"]).reshape(B, L, Hkv, D)
         if cfg.use_qk_norm:
             q = rms_norm(q, p["q_norm"], cfg.rms_norm_eps)
             k = rms_norm(k, p["k_norm"], cfg.rms_norm_eps)
@@ -250,7 +254,7 @@ def _decoder_cached_unrolled(cfg: TextConfig, params: Dict, x, cos, sin,
                                   attention_mask=kv_valid,
                                   q_positions=cache_positions,
                                   kv_positions=kv_pos)
-        x = x + matmul_q(out.reshape(B, L, H * D), p, "o_w")
+        x = x + matmul_q(out.reshape(B, L, H * D), p, "o_w", a8=a8)
 
         h2 = rms_norm(x, p["post_ln"], cfg.rms_norm_eps)
         if cfg.n_experts:
@@ -266,9 +270,10 @@ def _decoder_cached_unrolled(cfg: TextConfig, params: Dict, x, cos, sin,
             x = x + moe_out
         elif p["gate_w"].dtype in (jnp.int8, jnp.uint8):  # weight-only quant
             # (uint8 = nibble-packed int4; S4 arrays never cross jit — quant.py)
-            act = (jax.nn.silu(matmul_q(h2, p, "gate_w").astype(jnp.float32))
-                   * matmul_q(h2, p, "up_w").astype(jnp.float32))
-            x = x + matmul_q(act.astype(h2.dtype), p, "down_w")
+            act = (jax.nn.silu(matmul_q(h2, p, "gate_w", a8=a8)
+                               .astype(jnp.float32))
+                   * matmul_q(h2, p, "up_w", a8=a8).astype(jnp.float32))
+            x = x + matmul_q(act.astype(h2.dtype), p, "down_w", a8=a8)
         else:
             x = x + swiglu(h2, p["gate_w"], p["up_w"], p["down_w"])
 
@@ -294,6 +299,7 @@ def text_decoder(
     cp=None,
     pp=None,
     tp=None,    # (mesh, axis): head-shard the cache-path pallas kernels
+    act_quant: bool = False,   # w8a8 on the cached multi-token pass (prefill)
 ) -> Tuple[jnp.ndarray, Optional[Dict]]:
     """Returns (B, L, hidden) final hidden states (post final norm) + updated cache."""
     B, L, _ = inputs_embeds.shape
@@ -328,6 +334,6 @@ def text_decoder(
         # see _decoder_cached_unrolled
         x, new_cache = _decoder_cached_unrolled(
             cfg, params, inputs_embeds, cos, sin, cache, cache_positions,
-            use_flash, tp=tp)
+            use_flash, tp=tp, act_quant=act_quant)
 
     return rms_norm(x, params["final_ln"], cfg.rms_norm_eps), new_cache

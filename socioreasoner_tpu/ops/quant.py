@@ -120,11 +120,45 @@ def _matmul_int4(h: jnp.ndarray, q: jnp.ndarray, scale: jnp.ndarray
     return h @ wdq
 
 
-def matmul_q(h: jnp.ndarray, p: Dict, name: str) -> jnp.ndarray:
+def quantize_act(h: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Dynamic symmetric per-row (per-token) int8 activation quantization:
+    h ≈ q * scale with one f32 scale per row over the last (contraction)
+    dim. The w8a8 activation side (SmoothQuant-style dynamic quant, no
+    calibration)."""
+    hf = h.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(hf), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(hf / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def matmul_w8a8(h: jnp.ndarray, w_q: jnp.ndarray, w_scale: jnp.ndarray
+                ) -> jnp.ndarray:
+    """int8×int8 matmul on the MXU: h (…, K) bf16 × w_q (K, N) int8 →
+    (…, N) h.dtype. v5e's int8 MXU peak is 2× bf16 (394 vs 197 TOPS) —
+    this is the compute-bound-prefill counterpart of the bandwidth-bound
+    decode's w8a16 path. Accumulates in int32 (exact), then applies
+    act-row × weight-channel scales in f32."""
+    ha, a_scale = quantize_act(h)
+    acc = jax.lax.dot_general(
+        ha, w_q, (((ha.ndim - 1,), (w_q.ndim - 2,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    return (acc.astype(jnp.float32) * a_scale * w_scale).astype(h.dtype)
+
+
+def matmul_q(h: jnp.ndarray, p: Dict, name: str, a8: bool = False) -> jnp.ndarray:
     """h @ p[name], transparently dequantizing int8 (per-output-channel
-    scale) or int4 (group-wise scale) weights via p[f"{name}_scale"]."""
+    scale) or int4 (group-wise scale) weights via p[f"{name}_scale"].
+
+    a8=True (int8 weights only): quantize the activations per row and run
+    the dot as int8×int8 → int32 on the MXU (w8a8) instead of dequantizing
+    the weights into a bf16 dot (w8a16). Use for COMPUTE-bound passes
+    (prefill); decode stays w8a16 (weight-HBM-bound — a8 saves MXU time it
+    doesn't need and adds a per-step quantize)."""
     w = p[name]
     if w.dtype == jnp.int8:
+        if a8:
+            return matmul_w8a8(h, w, p[name + "_scale"])
         y = h @ w.astype(h.dtype)
         return (y * p[name + "_scale"]).astype(h.dtype)
     if w.dtype == jnp.uint8:                     # nibble-packed int4

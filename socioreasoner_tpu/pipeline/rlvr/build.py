@@ -90,6 +90,10 @@ def default_engine_kwargs(cfg: SocioSegConfig) -> Dict:
         kwargs["kv_quant"] = sc["kv_quant"]
     if sc.get("weight_quant"):
         kwargs["weight_quant"] = sc["weight_quant"]
+    if sc.get("act_quant"):
+        # w8a8 prefill (int8×int8 MXU matmuls — 2× bf16 peak on v5e);
+        # requires weight_quant: "int8"
+        kwargs["act_quant"] = sc["act_quant"]
     if sc.get("sampler_exact"):
         # exact lax.top_k candidate selection for parity/eval runs
         kwargs["sampler_exact"] = True

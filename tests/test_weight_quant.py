@@ -253,3 +253,92 @@ def test_quantized_tied_head(setup, mode, qdtype):
     rel = np.abs(quant - full).max() / (np.abs(full).std() + 1e-9)
     tol = 0.25 if mode == "int8" else 1.5        # see int4 worst-case note
     assert rel < tol, f"tied {mode} quantized logits diverged: rel={rel:.3f}"
+
+
+def test_matmul_w8a8_close():
+    """int8×int8 (w8a8) matmul matches the f32 product within dynamic-quant
+    tolerance, and exactly matches a manually dequantized int32 accumulate."""
+    from socioreasoner_tpu.ops.quant import matmul_w8a8, quantize_act
+    rng = np.random.default_rng(2)
+    h = jnp.asarray(rng.normal(size=(3, 5, 32)) * 0.7, jnp.float32)
+    w = jnp.asarray(rng.normal(size=(32, 16)) * 0.02, jnp.float32)
+    q, s = quantize_weight(w, axis=-2)
+    out = matmul_w8a8(h, q, s)
+    ref = h @ w
+    rel = float(jnp.abs(out - ref).max() / (jnp.abs(ref).std() + 1e-9))
+    assert rel < 0.1, f"w8a8 diverged: rel={rel:.4f}"
+    # exactness of the int32 accumulate vs numpy
+    ha, a_scale = quantize_act(h)
+    acc = np.asarray(ha, np.int64).reshape(-1, 32) @ np.asarray(q, np.int64)
+    manual = (acc.reshape(3, 5, 16).astype(np.float32)
+              * np.asarray(a_scale) * np.asarray(s))
+    assert np.allclose(np.asarray(out), manual, rtol=1e-4, atol=1e-5)
+
+
+def test_act_quant_forward_close(setup):
+    """act_quant=True on the cached multi-token pass (w8a8 prefill) stays
+    close to the w8a16 quantized forward; the L=1 decode step is unaffected
+    (a8 only fires for L > 1)."""
+    config, params = setup
+    rng = np.random.default_rng(4)
+    ids = jnp.asarray(rng.integers(2, 200, size=(2, 12)), jnp.int32)
+    qparams = quantize_decode_params(params, mode="int8")
+
+    def logits(act_quant):
+        B, L = ids.shape
+        t = config.text
+        cache = {
+            "k": jnp.zeros((t.num_hidden_layers, B, L, t.num_key_value_heads,
+                            t.head_dim), jnp.float32),
+            "v": jnp.zeros((t.num_hidden_layers, B, L, t.num_key_value_heads,
+                            t.head_dim), jnp.float32),
+            "kv_valid": jnp.ones((B, L), jnp.int32),
+        }
+        pos = jnp.broadcast_to(jnp.arange(L)[None, None], (B, 3, L))
+        cpos = jnp.broadcast_to(jnp.arange(L)[None], (B, L))
+        out, _ = qmodel.forward(config, qparams, ids, pos, None, cache=cache,
+                                cache_positions=cpos, act_quant=act_quant)
+        return np.asarray(out)
+
+    w8a16 = logits(False)
+    w8a8 = logits(True)
+    rel = np.abs(w8a8 - w8a16).max() / (np.abs(w8a16).std() + 1e-9)
+    assert rel < 0.35, f"w8a8 forward diverged from w8a16: rel={rel:.3f}"
+    agree = (w8a16.argmax(-1) == w8a8.argmax(-1)).mean()
+    assert agree > 0.7, f"w8a8 top-1 agreement {agree:.2f}"
+
+
+def test_engine_act_quant_runs(setup):
+    """Engine act_quant knob: w8a8 prefill end-to-end (hybrid mode routes
+    prefill onto the int8 tree), decode unaffected; invalid combos rejected."""
+    config, params = setup
+    engine = DecodeEngine(config, params, max_slots=2, max_len=64,
+                          decode_chunk=4, prefill_buckets=(16,),
+                          cache_dtype=jnp.float32, weight_quant="int8",
+                          act_quant="int8")
+    assert engine.act_quant
+    rng = np.random.default_rng(3)
+    outs = engine.generate([
+        Request(request_id=i,
+                prompt_ids=rng.integers(2, 200, size=7).tolist(),
+                sampling=SamplingParams(temperature=0.0, do_sample=False,
+                                        max_new_tokens=6))
+        for i in range(2)])
+    assert len(outs) == 2 and all(len(o.output_ids) >= 1 for o in outs)
+    with pytest.raises(ValueError):
+        DecodeEngine(config, params, act_quant="int8")      # needs int8 w
+    with pytest.raises(ValueError):
+        DecodeEngine(config, params, weight_quant="int8", act_quant="int4")
+
+
+def test_validation_act_quant():
+    from socioreasoner_tpu.configs.validation import validate_worker
+    from socioreasoner_tpu.configs.worker_config import WorkerConfig
+    wc = WorkerConfig(world_size=1)
+    wc.strategy_args.strategy_name = "jax_decode"
+    wc.strategy_args.strategy_config = {"act_quant": "int8"}
+    with pytest.raises(ValueError, match="act_quant"):
+        validate_worker("actor_infer", wc, 1)
+    wc.strategy_args.strategy_config = {"act_quant": "int8",
+                                        "weight_quant": "int8"}
+    validate_worker("actor_infer", wc, 1)
