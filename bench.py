@@ -59,12 +59,16 @@ def bench_socioseg(n_tiles: int = None, max_new: int = 256, tiny: bool = False,
                    kv_quant: str = None, weight_quant: str = None):
     """Full two-stage pipeline on synthetic tiles; returns (tiles/s, detail).
 
-    Defaults (8 tiles, bf16 KV) are the config verified end-to-end on the
-    chip; experimental configs go through env knobs (SOCIO_BENCH_TILES,
-    SOCIO_BENCH_KV_QUANT=int8, SOCIO_BENCH_WEIGHT_QUANT=int8) and must
-    complete a full on-chip run before becoming the default — round 2
-    shipped an untested 24-tile int8 default and the driver bench crashed
-    (VERDICT.md Weak #1).
+    Defaults = the best chip-verified config from the r4 sweep
+    (docs/BENCH_MATRIX_r4.md wave 5: 32 tiles / 32 slots, int8 weights
+    single-copy, restage group 8, max_len 3328, buckets 2048/2560/3072,
+    per-sample ViT embeds → 0.879 tiles/s). Every experimental config goes
+    through env knobs (SOCIO_BENCH_TILES / _SLOTS / _KV_QUANT /
+    _WEIGHT_QUANT=none|int8|int4 / _SINGLE_COPY / _ACT_QUANT / _MAXLEN /
+    _BUCKETS / _PREFILL_BATCH, SOCIO_GROUP_SIZE, SOCIO_PACK_EMBEDS) and
+    must complete a full on-chip run before becoming the default — round 2
+    shipped an untested default and the driver bench crashed (VERDICT r2
+    Weak #1).
 
     tiny=True (or env SOCIO_BENCH_TINY=1): scaled-down dims for a CPU plumbing
     check — NOT a performance number."""
@@ -87,10 +91,15 @@ def bench_socioseg(n_tiles: int = None, max_new: int = 256, tiny: bool = False,
         SocioSegInferPipeline)
 
     if n_tiles is None:
-        n_tiles = 2 if tiny else int(os.environ.get("SOCIO_BENCH_TILES", "8"))
+        n_tiles = 2 if tiny else int(os.environ.get("SOCIO_BENCH_TILES", "32"))
     kv_quant = kv_quant or os.environ.get("SOCIO_BENCH_KV_QUANT") or None
     weight_quant = (weight_quant
-                    or os.environ.get("SOCIO_BENCH_WEIGHT_QUANT") or None)
+                    or os.environ.get("SOCIO_BENCH_WEIGHT_QUANT", "int8"))
+    if tiny or weight_quant in ("none", "0", ""):   # env opt-out / CPU check
+        weight_quant = None
+    act_quant = os.environ.get("SOCIO_BENCH_ACT_QUANT", "int8")
+    if act_quant in ("none", "0", "") or not weight_quant or tiny:
+        act_quant = None
     if tiny:
         model_config = Qwen25VLConfig(
             vision=VisionConfig(depth=2, hidden_size=64, intermediate_size=128,
@@ -120,16 +129,19 @@ def bench_socioseg(n_tiles: int = None, max_new: int = 256, tiny: bool = False,
         # (map+sat ≈ 1458 image rows + text + stage-1 bbox JSON) — the 3072
         # bucket catches s2 prompts that previously padded to 4096 (38% of
         # the s2 prefill FLOPs were padding)
-        max_len = int(os.environ.get("SOCIO_BENCH_MAXLEN", "4096"))
+        # max_len 3328 = the 3072 bucket + 256 new tokens; s1 prompts are
+        # 2016 tokens (2048 bucket), s2 ≈ 2540 (2560 bucket; 3072 is the
+        # safety bucket for longer bbox JSON)
+        max_len = int(os.environ.get("SOCIO_BENCH_MAXLEN", "3328"))
         if os.environ.get("SOCIO_BENCH_BUCKETS"):
             buckets = tuple(int(b) for b in
                             os.environ["SOCIO_BENCH_BUCKETS"].split(","))
         else:
-            buckets = (tuple(b for b in (2048, 3072, 4096) if b <= max_len)
+            buckets = (tuple(b for b in (2048, 2560, 3072) if b <= max_len)
                        or (max_len,))
     params = qmodel.init_params(model_config, jax.random.key(0),
                                 dtype=jnp.bfloat16, with_vision=True)
-    single_copy = (os.environ.get("SOCIO_BENCH_SINGLE_COPY") == "1"
+    single_copy = (os.environ.get("SOCIO_BENCH_SINGLE_COPY", "1") == "1"
                    and weight_quant and not tiny)
     if single_copy:
         # single-copy serving: quantize the decoder stacks IN PLACE before
@@ -195,10 +207,10 @@ def bench_socioseg(n_tiles: int = None, max_new: int = 256, tiny: bool = False,
                        # slots) — env-gated until verified on-chip end to end
                        "kv_quant": None if tiny else kv_quant,
                        "weight_quant": None if tiny else weight_quant,
-                       # w8a8 prefill (int8×int8 MXU, 2× bf16 peak)
-                       "act_quant": (None if tiny else
-                                     os.environ.get("SOCIO_BENCH_ACT_QUANT")
-                                     or None),
+                       # w8a8 prefill (int8×int8 MXU): chip-verified e2e in
+                       # r4 wave 9 (0.879 → 0.921 tiles/s); opt out with
+                       # SOCIO_BENCH_ACT_QUANT=none
+                       "act_quant": act_quant,
                        "cache_dtype": jnp.bfloat16})
 
     pipe._two_stage(dataset)                      # warmup: all compiles
@@ -223,7 +235,7 @@ def bench_socioseg(n_tiles: int = None, max_new: int = 256, tiny: bool = False,
         "max_new_tokens_per_stage": max_new,
         "objects_per_tile": 6, "tile_px": tile_px,
         "kv_quant": kv_quant, "weight_quant": weight_quant,
-        "single_copy_quant": bool(single_copy),
+        "act_quant": act_quant, "single_copy_quant": bool(single_copy),
         "decode_steps": steps, "slots": slots,
         "decode_occupancy": round(toks / max(steps * slots, 1), 3),
     }
@@ -421,15 +433,16 @@ def main():
     except Exception as e:  # noqa: BLE001
         errors["socioseg_error"] = f"{type(e).__name__}: {e}"
         traceback.print_exc()
-        if os.environ.get("SOCIO_PACK_EMBEDS", "1") != "0":
-            # retry once on the per-sample embed path: the packed ViT dispatch
-            # is the newest graph on this phase — never let it be the reason
-            # the driver records no socioseg number
-            os.environ["SOCIO_PACK_EMBEDS"] = "0"
+        if os.environ.get("SOCIO_BENCH_TILES") is None:
+            # retry once at the conservative 8-tile bf16 config: never let
+            # the tuned default (32 tiles + int8 weights) be the reason the
+            # driver records no socioseg number at all
+            os.environ.update(SOCIO_BENCH_TILES="8",
+                              SOCIO_BENCH_WEIGHT_QUANT="none")
             gc.collect()
             try:
                 tiles_per_s, socio_detail = bench_socioseg()
-                socio_detail["pack_embeds_fallback"] = True
+                socio_detail["conservative_fallback"] = True
             except Exception as e2:  # noqa: BLE001
                 errors["socioseg_retry_error"] = f"{type(e2).__name__}: {e2}"
                 traceback.print_exc()

@@ -131,12 +131,25 @@ def _text_engine(kv_quant="int8", with_resident=False, slots=24,
     dt = time.perf_counter() - t0
     toks = sum(len(o.output_ids) for o in outs)
     log(f"generate done: {toks} tokens in {dt:.1f}s ({toks/dt:.0f} tok/s); {mem()}")
+    # force-materialize the caches: an async fault in the LAST graph (e.g.
+    # the prefill's quantized scatter with --n-new 1) must surface here,
+    # not silently at process exit
+    csum = float(sum(c.astype("float32").sum()
+                     for c in engine.caches.values()))
+    log(f"cache checksum {csum:.3e}")
     assert len(outs) == slots
     return engine
 
 
 def stage_engine():
-    _text_engine(with_resident=False)
+    def argval(name, default):
+        return (int(sys.argv[sys.argv.index(name) + 1])
+                if name in sys.argv else default)
+    # --n-new 1 → requests finish AT PREFILL (first sampled token hits the
+    # budget), so the engine never runs a decode chunk: isolates the prefill
+    # graph (incl. its quantized-cache scatter) from the decode graph.
+    _text_engine(with_resident=False, n_new=argval("--n-new", 129),
+                 prompt_len=argval("--prompt-len", 400))
     log("engine stage OK")
 
 
@@ -195,6 +208,92 @@ def stage_prefillscatter():
         s = float(caches["k_scale"].sum())      # force readback each iter
         log(f"iter {it} scatter ok (scale sum {s:.2f}); {mem()}")
     log("prefillscatter stage OK")
+
+
+def stage_scatterthenchunk():
+    """Prefill-scatter executable THEN decode-chunk executable on the SAME
+    donated buffers in one process — the cross-executable buffer hand-off
+    the engine does (every standalone piece passes; the real engine's
+    prefill→decode sequence is the remaining untested composition besides
+    the full transformer body)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from socioreasoner_tpu.ops.decode_attention import quantize_kv
+    from socioreasoner_tpu.ops.decode_attention import (
+        paged_decode_attention as _pda)
+    from socioreasoner_tpu.ops.flags import on_tpu
+    paged = functools.partial(_pda, interpret=not on_tpu())
+
+    layers, S, Lalloc, Hkv, D, H = 36, 24, 4352, 2, 128, 16
+    bucket, B = 512, 8
+    rng = np.random.default_rng(0)
+    caches = {
+        "k": jnp.zeros((layers, S, Lalloc, Hkv, D), jnp.int8),
+        "v": jnp.zeros((layers, S, Lalloc, Hkv, D), jnp.int8),
+        "k_scale": jnp.zeros((layers, S, Hkv, Lalloc), jnp.float32),
+        "v_scale": jnp.zeros((layers, S, Hkv, Lalloc), jnp.float32),
+    }
+
+    def scatter(caches, upd_kv, upd_sc, slots):
+        out = {}
+        for name in ("k", "v"):
+            out[name] = caches[name].at[:, slots, :bucket].set(
+                upd_kv.astype(jnp.int8), mode="drop")
+        for name in ("k_scale", "v_scale"):
+            out[name] = caches[name].at[:, slots, :, :bucket].set(
+                upd_sc, mode="drop")
+        return out
+
+    scatter_j = jax.jit(scatter, donate_argnums=(0,))
+    # three batch-8 prefill scatters (the engine's 24-slot admission)
+    for g in range(3):
+        upd_kv = jnp.asarray(rng.integers(-127, 127,
+                                          size=(layers, B, bucket, Hkv, D)),
+                             jnp.int8)
+        upd_sc = jnp.asarray(rng.normal(size=(layers, B, Hkv, bucket))
+                             .astype(np.float32))
+        slots = jnp.asarray(np.arange(g * B, (g + 1) * B), jnp.int32)
+        caches = scatter_j(caches, upd_kv, upd_sc, slots)
+    log(f"scatters done; {mem()}")
+
+    # then the decode chunk on the SAME buffers
+    lengths = jnp.full((S,), bucket - 8, jnp.int32)
+    q0 = jnp.asarray(rng.normal(size=(S, H, D)), jnp.bfloat16)
+    bidx = jnp.arange(S)[:, None]
+
+    def chunk(caches, lengths, q):
+        def cond(c):
+            return c[0] < 64
+
+        def body(c):
+            i, caches, lengths, acc = c
+            cache_positions = lengths[:, None]
+            k_all, v_all = caches["k"], caches["v"]
+            ks_all, vs_all = caches["k_scale"], caches["v_scale"]
+            for lyr in range(36):
+                kv_new = (q[:, :Hkv] * (1.0 + acc))[:, None]
+                kq, ksc = quantize_kv(kv_new)
+                vq, vsc = quantize_kv(kv_new + 1.0)
+                k_all = k_all.at[lyr, bidx, cache_positions].set(kq)
+                v_all = v_all.at[lyr, bidx, cache_positions].set(vq)
+                ks_all = ks_all.at[lyr, bidx, :, cache_positions].set(ksc)
+                vs_all = vs_all.at[lyr, bidx, :, cache_positions].set(vsc)
+                out = paged(q, k_all, v_all, lengths + 1, ks_all, vs_all,
+                            layer=lyr)
+                acc = acc + out.astype(jnp.float32).mean()
+            return (i + 1, dict(caches, k=k_all, v=v_all, k_scale=ks_all,
+                                v_scale=vs_all), lengths + 1, acc)
+
+        _, caches, lengths, acc = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), caches, lengths, jnp.float32(0.0)))
+        return caches, lengths, acc
+
+    chunk_j = jax.jit(chunk, donate_argnums=(0,))
+    caches, lengths, acc = chunk_j(caches, lengths, q0)
+    log(f"chunk done acc={float(acc):.4f}; {mem()}")
+    log("scatterthenchunk stage OK")
 
 
 def stage_chunkloop():
@@ -340,4 +439,5 @@ if __name__ == "__main__":
     dict(kernel=stage_kernel, engine=stage_engine, engine4k=stage_engine4k,
          resident=stage_resident, bench=stage_bench,
          chunkloop=stage_chunkloop,
-         prefillscatter=stage_prefillscatter)[stage]()
+         prefillscatter=stage_prefillscatter,
+         scatterthenchunk=stage_scatterthenchunk)[stage]()

@@ -118,18 +118,19 @@ def batch_image_embeds(config: Qwen25VLConfig, params, batch: BatchProto,
                        ) -> List[Optional[np.ndarray]]:
     """Per-sample merged ViT embeddings for every sample in `batch`.
 
-    All samples' images are PACKED into ONE vision-tower dispatch and the
-    output rows split back per sample: the tower's segmented window/full
-    attention already isolates images from each other, so packing is
-    numerically the per-image computation — but B sequential jit dispatches
-    (each a host→device round trip through the axon relay) collapse to one.
+    Default: PER-SAMPLE tower dispatches. On-chip (r4 wave 1) eight
+    5.8k-token dispatches beat one 46k-token packed dispatch 0.525 vs
+    0.398 tiles/s — the packed geometry runs the tower at worse MXU
+    utilization than the per-image shape, outweighing the saved relay
+    round-trips. SOCIO_PACK_EMBEDS=1 opts back into packing (one dispatch,
+    segmented attention isolates images; numerically identical).
     """
     out: List[Optional[np.ndarray]] = [None] * len(batch)
     pv_col = batch.non_tensor.get(f"{prefix}pixel_values")
     u8_col = batch.non_tensor.get(f"{prefix}pixel_u8")
     grid_col = batch.non_tensor.get(f"{prefix}grid_thw")
-    if os.environ.get("SOCIO_PACK_EMBEDS", "1") == "0":
-        # escape hatch: per-sample dispatch (the pre-packing behavior), for
+    if os.environ.get("SOCIO_PACK_EMBEDS", "0") == "0":
+        # per-sample dispatch (the on-chip winner); packing is the opt-in
         # on-chip ablation or if a packed geometry misbehaves on real hardware
         for i in range(len(batch)):
             u8 = u8_col[i] if u8_col is not None else None

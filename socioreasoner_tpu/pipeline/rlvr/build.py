@@ -94,6 +94,10 @@ def default_engine_kwargs(cfg: SocioSegConfig) -> Dict:
         # w8a8 prefill (int8×int8 MXU matmuls — 2× bf16 peak on v5e);
         # requires weight_quant: "int8"
         kwargs["act_quant"] = sc["act_quant"]
+    if sc.get("single_copy_quant"):
+        # quantize the rollout store in place: one shared int8 tree serves
+        # prefill AND decode (JaxDecodeStrategy consumes this kwarg)
+        kwargs["single_copy_quant"] = True
     if sc.get("sampler_exact"):
         # exact lax.top_k candidate selection for parity/eval runs
         kwargs["sampler_exact"] = True
