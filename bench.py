@@ -151,6 +151,11 @@ def bench_socioseg(n_tiles: int = None, max_new: int = 256, tiny: bool = False,
         # 16+ slots together with weight quantization on a 16 GB v5e
         from socioreasoner_tpu.ops.quant import quantize_decode_params
         quantize_decode_params(params, mode=weight_quant, inplace=True)
+    vit_quant = os.environ.get("SOCIO_BENCH_VIT_QUANT") or None
+    if vit_quant == "int8" and not tiny:
+        # w8a8 ViT tower (env-gated until chip-verified end to end)
+        from socioreasoner_tpu.ops.quant import quantize_vision_params
+        quantize_vision_params(params["vision"], inplace=True)
     sam_params = smodel.init_params(sam_config, jax.random.key(1),
                                     dtype=jnp.bfloat16)
 
@@ -235,7 +240,8 @@ def bench_socioseg(n_tiles: int = None, max_new: int = 256, tiny: bool = False,
         "max_new_tokens_per_stage": max_new,
         "objects_per_tile": 6, "tile_px": tile_px,
         "kv_quant": kv_quant, "weight_quant": weight_quant,
-        "act_quant": act_quant, "single_copy_quant": bool(single_copy),
+        "act_quant": act_quant, "vit_quant": vit_quant,
+        "single_copy_quant": bool(single_copy),
         "decode_steps": steps, "slots": slots,
         "decode_occupancy": round(toks / max(steps * slots, 1), 3),
     }

@@ -37,14 +37,15 @@ _KNOWN: Dict[str, Set[str]] = {
         "decode_chunk", "prefill_buckets", "image_buckets",
         "max_prefill_batch", "sampler_exact", "prefill_batch_sizes",
         "tensor_model_parallel_size", "prefix_fork", "single_copy_quant",
-        "act_quant",
+        "act_quant", "vit_quant",
     },
     "seg_infer": {"seg_encode_batch", "seg_embed_cache"},
 }
 
 _QUANT_VALUES = {"kv_quant": (None, "int8"),
                  "weight_quant": (None, "int8", "int4"),
-                 "act_quant": (None, "int8")}
+                 "act_quant": (None, "int8"),
+                 "vit_quant": (None, "int8")}
 
 
 def validate_worker(role: str, wc: Optional[WorkerConfig],

@@ -405,9 +405,13 @@ class JaxDecodeStrategy(InferenceStrategy):
         # the engine detects the pre-quantized tree and shares it between
         # prefill and decode instead of keeping bf16 + int8 copies resident
         self._single_copy = self.engine_kwargs.pop("single_copy_quant", False)
+        # vit_quant: int8 (w8a8) ViT tower — the pipelines compute image
+        # embeds from this store's vision subtree (batch_image_embeds)
+        self._vit_quant = self.engine_kwargs.pop("vit_quant", None)
         if self._single_copy:
             if not self.engine_kwargs.get("weight_quant"):
                 raise ValueError("single_copy_quant requires weight_quant")
+        if self._single_copy or self._vit_quant:
             self._quantize_store()
         if mesh is not None:
             # TP decode engine (ICI-sharded weights + paged KV cache) — the
@@ -417,11 +421,17 @@ class JaxDecodeStrategy(InferenceStrategy):
         self.server: Optional[GenerateServer] = None
 
     def _quantize_store(self):
-        from ..ops.quant import params_prequantized, quantize_decode_params
+        from ..ops.quant import (params_prequantized, quantize_decode_params,
+                                 quantize_vision_params, vision_prequantized)
         tree = self.param_store.get("rollout")
-        if not params_prequantized(tree):
-            self.param_store.put("rollout", quantize_decode_params(
-                tree, mode=self.engine_kwargs["weight_quant"]))
+        if self._single_copy and not params_prequantized(tree):
+            tree = quantize_decode_params(
+                tree, mode=self.engine_kwargs["weight_quant"])
+        if (self._vit_quant and "vision" in tree
+                and not vision_prequantized(tree["vision"])):
+            tree = dict(tree)
+            tree["vision"] = quantize_vision_params(tree["vision"])
+        self.param_store.put("rollout", tree)
 
     def _build_engine(self):
         self.engine = DecodeEngine(self.model_config,
@@ -441,7 +451,8 @@ class JaxDecodeStrategy(InferenceStrategy):
                 f"requests ({self.engine.num_running()} running, "
                 f"{self.engine.num_waiting()} waiting); drain/stop generation "
                 "before swapping weights")
-        if getattr(self, "_single_copy", False):
+        if getattr(self, "_single_copy", False) or getattr(self, "_vit_quant",
+                                                           None):
             # fresh bf16 weights from the trainer: quantize, keep only the
             # quantized tree in the store (the trainer retains its own copy)
             self._quantize_store()

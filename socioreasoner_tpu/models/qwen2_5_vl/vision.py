@@ -53,8 +53,12 @@ def vision_block(cfg: VisionConfig, p: Dict, x: jnp.ndarray, cos: jnp.ndarray,
     """One ViT block. x: (S, hidden); seg: (S,) attention segment ids."""
     S = x.shape[0]
     H, D = cfg.num_heads, cfg.head_dim
+    # int8 tower weights (ops/quant.py quantize_vision_params) run w8a8:
+    # the ViT is pure multi-token compute, so the int8 MXU always applies
+    from ...ops.quant import matmul_q
+    a8 = p["qkv_w"].dtype == jnp.int8
     h = _norm(cfg, x, p, "norm1")
-    qkv = h @ p["qkv_w"] + p["qkv_b"]                    # (S, 3*hidden)
+    qkv = matmul_q(h, p, "qkv_w", a8=a8) + p["qkv_b"]    # (S, 3*hidden)
     q, k, v = jnp.split(qkv.reshape(S, 3, H, D), 3, axis=1)
     q, k, v = q[:, 0], k[:, 0], v[:, 0]                  # (S, H, D)
     # rotary (cos/sin are (S, D)); float32 rotation like HF
@@ -70,11 +74,20 @@ def vision_block(cfg: VisionConfig, p: Dict, x: jnp.ndarray, cos: jnp.ndarray,
     else:
         attn = dense_attention(q[None], k[None], v[None],
                                segment_ids_q=seg[None], segment_ids_kv=seg[None])[0]
-    x = x + (attn.reshape(S, H * D) @ p["proj_w"] + p["proj_b"])
+    x = x + (matmul_q(attn.reshape(S, H * D), p, "proj_w", a8=a8)
+             + p["proj_b"])
     h2 = _norm(cfg, x, p, "norm2")
     if cfg.variant == "qwen2":     # fc1 → quick-GELU → fc2
-        x = x + ((quick_gelu(h2 @ p["fc1_w"] + p["fc1_b"]))
-                 @ p["fc2_w"] + p["fc2_b"])
+        x = x + (matmul_q(quick_gelu(matmul_q(h2, p, "fc1_w", a8=a8)
+                                     + p["fc1_b"]), p, "fc2_w", a8=a8)
+                 + p["fc2_b"])
+    elif a8:
+        act = (jax.nn.silu((matmul_q(h2, p, "gate_w", a8=True)
+                            + p["gate_b"]).astype(jnp.float32))
+               * (matmul_q(h2, p, "up_w", a8=True)
+                  + p["up_b"]).astype(jnp.float32))
+        x = x + (matmul_q(act.astype(h2.dtype), p, "down_w", a8=True)
+                 + p["down_b"])
     else:
         x = x + swiglu(h2, p["gate_w"], p["up_w"], p["down_w"],
                        p["gate_b"], p["up_b"], p["down_b"])
@@ -114,10 +127,13 @@ def vision_tower(
                        cfg.rms_norm_eps)
     else:
         h = rms_norm(x, params["merger_ln_q"], cfg.rms_norm_eps)
+    from ...ops.quant import matmul_q
+    a8 = params["merger_fc1_w"].dtype == jnp.int8
     h = h.reshape(-1, cfg.spatial_merge_unit * cfg.hidden_size)
-    h = h @ params["merger_fc1_w"] + params["merger_fc1_b"]
+    h = matmul_q(h, params, "merger_fc1_w", a8=a8) + params["merger_fc1_b"]
     h = jax.nn.gelu(h, approximate=False)
-    return h @ params["merger_fc2_w"] + params["merger_fc2_b"]
+    return (matmul_q(h, params, "merger_fc2_w", a8=a8)
+            + params["merger_fc2_b"])
 
 
 def vision_host_inputs(cfg: VisionConfig, pixel_patches: np.ndarray, grid_thw: np.ndarray):

@@ -211,6 +211,41 @@ def quantize_decode_params(params: Dict, mode: str = "int8",
     return out
 
 
+# vision-tower matmul weights eligible for int8 (stacked (depth, in, out)
+# block weights + the unstacked merger MLP); patch_embed stays bf16 (the
+# first projection sets the feature scale — keep it exact)
+VISION_QUANT_KEYS = ("qkv_w", "proj_w", "fc1_w", "fc2_w",
+                     "gate_w", "up_w", "down_w")
+VISION_MERGER_KEYS = ("merger_fc1_w", "merger_fc2_w")
+
+
+def quantize_vision_params(vision: Dict, inplace: bool = False) -> Dict:
+    """int8 per-output-channel quantization of the ViT tower's matmul
+    weights (w8a8 ViT: the tower is pure multi-token compute, so the int8
+    MXU applies everywhere). Norms, biases, rope tables, patch_embed stay
+    bf16. Same single-copy inplace semantics as quantize_decode_params."""
+    out = vision if inplace else dict(vision)
+    blocks = vision["blocks"] if inplace else dict(vision["blocks"])
+    for name in VISION_QUANT_KEYS:
+        if name in blocks and blocks[name].dtype != jnp.int8:
+            q, s = quantize_weight(blocks[name], axis=-2)
+            q.block_until_ready()
+            blocks[name] = q
+            blocks[name + "_scale"] = s
+    out["blocks"] = blocks
+    for name in VISION_MERGER_KEYS:
+        if name in vision and vision[name].dtype != jnp.int8:
+            q, s = quantize_weight(vision[name], axis=-2)
+            out[name] = q
+            out[name + "_scale"] = s
+    return out
+
+
+def vision_prequantized(vision: Dict) -> bool:
+    blocks = vision.get("blocks", {})
+    return any(name + "_scale" in blocks for name in VISION_QUANT_KEYS)
+
+
 def params_prequantized(params: Dict) -> bool:
     """True if `params` already carries quantized decoder stacks (produced by
     quantize_decode_params): the single-copy serving path, where prefill and

@@ -98,6 +98,10 @@ def default_engine_kwargs(cfg: SocioSegConfig) -> Dict:
         # quantize the rollout store in place: one shared int8 tree serves
         # prefill AND decode (JaxDecodeStrategy consumes this kwarg)
         kwargs["single_copy_quant"] = True
+    if sc.get("vit_quant"):
+        # w8a8 ViT tower (JaxDecodeStrategy quantizes the store's vision
+        # subtree; batch_image_embeds consumes it)
+        kwargs["vit_quant"] = sc["vit_quant"]
     if sc.get("sampler_exact"):
         # exact lax.top_k candidate selection for parity/eval runs
         kwargs["sampler_exact"] = True

@@ -342,3 +342,54 @@ def test_validation_act_quant():
     wc.strategy_args.strategy_config = {"act_quant": "int8",
                                         "weight_quant": "int8"}
     validate_worker("actor_infer", wc, 1)
+
+
+def test_vision_quant_close():
+    """w8a8 ViT tower (quantize_vision_params) stays close to the f32 tower
+    and the engine-facing run_vision path consumes the quantized tree."""
+    from socioreasoner_tpu.models.qwen2_5_vl.config import VisionConfig
+    from socioreasoner_tpu.models.qwen2_5_vl import model as qm
+    from socioreasoner_tpu.models.qwen2_5_vl.vision import (vision_host_inputs,
+                                                            vision_tower)
+    from socioreasoner_tpu.ops.quant import (quantize_vision_params,
+                                             vision_prequantized)
+    cfg = Qwen25VLConfig.tiny().vision
+    full = qm.init_params(Qwen25VLConfig.tiny(), jax.random.key(3),
+                          dtype=jnp.float32, with_vision=True)["vision"]
+    rng = np.random.default_rng(0)
+    grid = np.array([[1, 4, 4]])
+    patches = rng.normal(size=(16, cfg.patch_input_dim)).astype(np.float32)
+    hi = vision_host_inputs(cfg, patches, grid)
+    args = (jnp.asarray(hi["patches"]), jnp.asarray(hi["cos"]),
+            jnp.asarray(hi["sin"]), jnp.asarray(hi["window_seg"]),
+            jnp.asarray(hi["full_seg"]), jnp.asarray(hi["is_full_layer"]))
+    ref = np.asarray(vision_tower(cfg, full, *args))
+    qv = quantize_vision_params(full)
+    assert vision_prequantized(qv) and not vision_prequantized(full)
+    out = np.asarray(vision_tower(cfg, qv, *args))
+    rel = np.abs(out - ref).max() / (np.abs(ref).std() + 1e-9)
+    assert rel < 0.5, f"w8a8 ViT diverged: rel={rel:.3f}"
+    # cosine similarity per row — feature direction preserved
+    cos = (np.sum(out * ref, -1)
+           / (np.linalg.norm(out, axis=-1) * np.linalg.norm(ref, axis=-1)
+              + 1e-9))
+    assert cos.min() > 0.98, f"w8a8 ViT feature cos {cos.min():.4f}"
+
+
+def test_decode_strategy_vit_quant(setup):
+    """vit_quant strategy knob: the rollout store's vision subtree ends up
+    quantized (engine decode unaffected)."""
+    from socioreasoner_tpu.distributed.jax_strategies import JaxDecodeStrategy
+    from socioreasoner_tpu.distributed.strategy import ParamStore
+    from socioreasoner_tpu.ops.quant import vision_prequantized
+    config, _ = setup
+    params = qmodel.init_params(config, jax.random.key(9), dtype=jnp.float32,
+                                with_vision=True)
+    store = ParamStore()
+    store.put("rollout", params)
+    strat = JaxDecodeStrategy(param_store=store)
+    strat.initialize(config, engine_kwargs={
+        "max_slots": 2, "max_len": 64, "decode_chunk": 4,
+        "prefill_buckets": (16,), "cache_dtype": jnp.float32,
+        "vit_quant": "int8"})
+    assert vision_prequantized(store.get("rollout")["vision"])
