@@ -64,6 +64,11 @@ def run_fork():
         results[fork] = (toks / dt, dt, eng.prefill_rows, eng.forked_requests)
         log(f"prefix_fork={fork}: {toks} toks in {dt:.2f}s = {toks/dt:.0f} "
             f"tok/s (prefills={eng.prefill_rows} forks={eng.forked_requests})")
+        log(f"  split: admit={eng.admit_time:.2f}s "
+            f"(prefill_dev={eng.prefill_device_time:.2f}s) "
+            f"decode={eng.decode_time:.2f}s steps={eng.steps_executed} "
+            f"({1e3 * eng.decode_time / max(eng.steps_executed, 1):.1f} "
+            f"ms/step)")
         del eng
     tps_off, tps_on = results[False][0], results[True][0]
     log(f"RESULT fork: actor_infer tps {tps_off:.0f} -> {tps_on:.0f} "

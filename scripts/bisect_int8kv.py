@@ -96,6 +96,8 @@ def _text_engine(kv_quant="int8", with_resident=False, slots=24,
         # If the engine STILL crashes dense, the paged kernel is exonerated
         # in the full-engine context too.
         os.environ["SOCIO_DISABLE_FLASH"] = "1"
+    decode_chunk = (int(sys.argv[sys.argv.index("--decode-chunk") + 1])
+                    if "--decode-chunk" in sys.argv else 64)
     from socioreasoner_tpu.generation.engine import DecodeEngine, Request
     from socioreasoner_tpu.generation.sampling import SamplingParams
     from socioreasoner_tpu.models.qwen2_5_vl import model as qmodel
@@ -113,7 +115,8 @@ def _text_engine(kv_quant="int8", with_resident=False, slots=24,
                                            dtype=jnp.bfloat16))
     log(f"params ready; {mem()}")
     engine = DecodeEngine(config, params, max_slots=slots, max_len=max_len,
-                          decode_chunk=64, prefill_buckets=(512, 1024, 2048, 4096),
+                          decode_chunk=decode_chunk,
+                          prefill_buckets=(512, 1024, 2048, 4096),
                           max_prefill_batch=8, kv_quant=kv_quant,
                           # --exact: lax.top_k sampling instead of
                           # approx_max_k (TPU PartialReduce) — discriminates
