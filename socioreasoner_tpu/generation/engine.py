@@ -559,19 +559,20 @@ class DecodeEngine:
             srcs.append(e.slot)
             dsts.append(slot)
             self.forked_requests += 1
-        Fb = self._fork_bucket(len(srcs))
-        srcs += [0] * (Fb - len(srcs))     # pad: slot0 -> slot0 copy is a no-op
-        dsts += [0] * (Fb - len(dsts))
-        fn = self._get_fork(Fb)
+        # Pad to ONE fixed width (max_slots) by repeating the last real pair:
+        # the duplicate destinations all write the identical gathered row, so
+        # scatter order can't matter, and no live slot is clobbered. A single
+        # padded width means a single executable — the earlier per-bucket
+        # unrolled copies compiled MID-RUN through the remote XLA compiler and
+        # cost ~40 s of the timed region at GRPO fan-out shape (the wave-10
+        # 135→79 tok/s prefix-fork regression).
+        pad = self.S - len(srcs)
+        srcs += [srcs[-1]] * pad
+        dsts += [dsts[-1]] * pad
+        fn = self._get_fork(self.S)
         self.caches = fn(self.caches, jnp.asarray(np.asarray(srcs, np.int32)),
                          jnp.asarray(np.asarray(dsts, np.int32)))
         self._dev_dirty = True
-
-    def _fork_bucket(self, n: int) -> int:
-        for b in (1, 2, 4, 8, 16, 32):
-            if n <= b:
-                return b
-        return n
 
     def _get_fork(self, F: int):
         if F not in self._jit_fork:
@@ -579,17 +580,16 @@ class DecodeEngine:
         return self._jit_fork[F]
 
     def _fork_slots(self, caches, srcs, dsts):
-        """Sequential in-place row copies along the slot axis (axis 1 in every
-        cache leaf). Unrolled over the padded fork-bucket length; transient
-        footprint is one slot row, and list-order execution preserves the
-        read-before-overwrite guarantee _admit_group's ordering establishes."""
-        out = dict(caches)
-        for i in range(srcs.shape[0]):
-            for name in caches:
-                row = jax.lax.dynamic_index_in_dim(out[name], srcs[i], axis=1,
-                                                   keepdims=True)
-                out[name] = jax.lax.dynamic_update_slice_in_dim(
-                    out[name], row, dsts[i], axis=1)
+        """Gather the source rows, then scatter them to the destination slots
+        (slot axis = 1 in every cache leaf). Sources and destinations are
+        disjoint within a call (_admit_group's epoch invariant), so the
+        gather-before-scatter semantics need no ordering; duplicate
+        destinations only come from padding, which repeats the last real pair
+        (identical rows — any scatter order agrees)."""
+        out = {}
+        for name, c in caches.items():
+            rows = jnp.take(c, srcs, axis=1)
+            out[name] = c.at[:, dsts].set(rows)
         return out
 
     def _prefill_group(self, reqs: List[Request], outputs: List[EngineOutput]):
@@ -775,11 +775,12 @@ class DecodeEngine:
         if self._dev_dirty or self._dev_state is None:
             self._refresh_dev_state()
         n = self.decode_chunk
-        self.caches, self._dev_state, toks, steps = self._jit_decode(
+        self.caches, self._dev_state, packed = self._jit_decode(
             self.params_q if self.params_q is not None else self.params,
             self.caches, self._dev_state, n_steps=n)
-        toks = np.asarray(toks)          # (S, n) — the only download per chunk
-        steps = int(steps)               # ≤ n: the loop exits once EVERY slot
+        packed = np.asarray(packed)      # (S+1, n) — the only download per chunk
+        toks = packed[:-1]
+        steps = int(packed[-1, 0])       # ≤ n: the loop exits once EVERY slot
         self.steps_executed += steps     # hit a stop token or its budget
         # host mirrors advance arithmetically (the device did lengths+steps);
         # a released/admitted slot marks the state dirty and forces re-upload
@@ -910,4 +911,9 @@ class DecodeEngine:
                      "next_pos": next_pos, "active": active, "temps": temps,
                      "top_ps": top_ps, "top_ks": top_ks, "budget": budget,
                      "stops": stops, "key": key}
-        return caches, new_state, toks, steps
+        # steps rides as an extra row of toks: ONE device→host transfer per
+        # chunk instead of two (each blocking readback costs ~32 ms through
+        # the relayed link — two per chunk was ~6% of in-pipeline decode wall)
+        packed = jnp.concatenate(
+            [toks, jnp.full((1, n_steps), steps, jnp.int32)], axis=0)
+        return caches, new_state, packed
