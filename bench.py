@@ -98,7 +98,9 @@ def bench_socioseg(n_tiles: int = None, max_new: int = 256, tiny: bool = False,
     if tiny or weight_quant in ("none", "0", ""):   # env opt-out / CPU check
         weight_quant = None
     act_quant = os.environ.get("SOCIO_BENCH_ACT_QUANT", "int8")
-    if act_quant in ("none", "0", "") or not weight_quant or tiny:
+    # w8a8 needs int8 weights specifically: int4's group-wise scales have no
+    # a8 kernel (engine rejects the combination), so int4 runs w4a16
+    if act_quant in ("none", "0", "") or weight_quant != "int8" or tiny:
         act_quant = None
     if tiny:
         model_config = Qwen25VLConfig(

@@ -78,15 +78,35 @@ def param_specs(params: Dict) -> Dict:
         "layers": layer_specs,
     }
     if "lm_head" in params:
-        specs["lm_head"] = P("fsdp", "tp")
+        h = params["lm_head"]
+        specs["lm_head"] = (P() if getattr(h, "dtype", None) == np.uint8
+                            else P("fsdp", "tp"))   # nibble-packed int4: replicate
+    if "lm_head_q" in params:           # tied head, pre-quantized (H, V)
+        q = params["lm_head_q"]
+        specs["lm_head_q"] = (P("fsdp", "tp")
+                              if getattr(q, "dtype", None) == np.int8
+                              else P())     # uint8 nibble-packed int4: replicate
     if "vision" in params:
-        specs["vision"] = {
+        vtop = {
             "patch_embed_w": P("fsdp", "tp"),
-            "blocks": vision_block_specs(),
             "merger_ln_q": P(),
             "merger_fc1_w": P("fsdp", "tp"), "merger_fc1_b": P("tp"),
             "merger_fc2_w": P("tp", "fsdp"), "merger_fc2_b": P(),
         }
+        vblock = vision_block_specs()
+        specs["vision"] = {
+            k: ({n: vblock.get(n, P()) for n in v}
+                if k == "blocks" else vtop.get(k, P()))
+            for k, v in params["vision"].items()
+        }
+    # pre-quantized trees (ops/quant.py) add *_scale leaves (per-output-
+    # channel f32 vectors / int4 group tables) and replace weights with int8
+    # same-shape (or uint8 nibble-packed) values: any key the tables above
+    # don't know — scales, packed int4 — replicates. Scales are a few MB
+    # total; GSPMD slices the replicated scale against the tp-sharded matmul
+    # output, and nibble-packed int4 (halved contracting dim) is safer
+    # replicated than divisibility-sharded.
+    specs.update({k: P() for k in params if k not in specs})
     return specs
 
 

@@ -42,11 +42,21 @@ class BasePipeline:
         self.model_update_pairs.append((src_cluster, tgt_cluster, frequency))
 
     def model_update(self, step: int):
-        """Train→infer weight flow (ref :65; here a ParamStore pointer swap)."""
-        for src, tgt, freq in self.model_update_pairs:
-            if step % freq == 0:
+        """Train→infer weight flow (ref :65; here a ParamStore pointer swap).
+
+        Each distinct src publishes ONCE per step before any tgt consumes:
+        re-running src.model_update between dp decode replicas would re-put
+        the bf16 tree and defeat their params_prequantized guard — dp
+        replicas would each re-quantize the full decoder tree every update."""
+        due = [(src, tgt) for src, tgt, freq in self.model_update_pairs
+               if step % freq == 0]
+        seen = set()
+        for src, _ in due:
+            if id(src) not in seen:
+                seen.add(id(src))
                 src.model_update(step)
-                tgt.model_update(step)
+        for _, tgt in due:
+            tgt.model_update(step)
 
     def do_checkpoint(self, global_step: int):
         """Every save_steps: role checkpoints + pipeline state (ref :71-91)."""

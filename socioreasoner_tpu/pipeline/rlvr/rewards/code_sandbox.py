@@ -157,14 +157,17 @@ class RemoteSandbox:
         return None
 
     def run_case(self, code: str, *, stdin: str = "",
-                 expected_stdout: str = "") -> bool:
+                 expected_stdout: Optional[str] = None) -> bool:
+        """expected_stdout=None marks an ASSERT case (pass == Success); a
+        string — even an empty one — is an stdin case and stdout must match
+        it, exactly like the local run_stdin_case judge."""
         result = self._post({
             "compile_timeout": self.timeout, "run_timeout": self.timeout,
             "code": code, "language": "python",
-            "stdin": stdin, "expected_stdout": expected_stdout})
+            "stdin": stdin, "expected_stdout": expected_stdout or ""})
         if result is None or result.get("status") != "Success":
             return False
-        if expected_stdout.strip() == "":
+        if expected_stdout is None:
             return True
         got = result.get("run_result", {}).get("stdout", "")
         got_lines = [l.rstrip() for l in got.strip().splitlines()]
@@ -176,32 +179,46 @@ class RemoteSandbox:
             return list(pool.map(lambda f: f(), fns))
 
 
+def _prep_cases(response: str, test_cases):
+    """→ (code, case_list) or None when the response can't be scored."""
+    code = extract_code(response)
+    if code is None:
+        return None
+    if isinstance(test_cases, str):
+        try:
+            test_cases = json.loads(test_cases)
+        except json.JSONDecodeError:
+            return None
+    if not test_cases:
+        return None
+    return code, test_cases
+
+
+def _sandbox_case_fns(code: str, test_cases, sandbox: "RemoteSandbox"):
+    fns = []
+    for case in test_cases:
+        if "assert" in case:
+            fns.append(lambda c=case: sandbox.run_case(
+                code + "\n\n" + c["assert"] + "\n"))
+        else:
+            fns.append(lambda c=case: sandbox.run_case(
+                code, stdin=c.get("input", ""),
+                expected_stdout=c.get("output", "")))
+    return fns
+
+
 def score_response(response: str, test_cases, timeout: float = 6.0,
                    sandbox: Optional[RemoteSandbox] = None) -> float:
     """Fraction of test cases passed. test_cases: list of
     {"input":..., "output":...} or {"assert": code} or a JSON string thereof.
     With `sandbox`, cases execute on the remote service concurrently."""
-    code = extract_code(response)
-    if code is None:
+    prep = _prep_cases(response, test_cases)
+    if prep is None:
         return 0.0
-    if isinstance(test_cases, str):
-        try:
-            test_cases = json.loads(test_cases)
-        except json.JSONDecodeError:
-            return 0.0
-    if not test_cases:
-        return 0.0
+    code, test_cases = prep
     if sandbox is not None:
-        fns = []
-        for case in test_cases:
-            if "assert" in case:
-                fns.append(lambda c=case: sandbox.run_case(
-                    code + "\n\n" + c["assert"] + "\n"))
-            else:
-                fns.append(lambda c=case: sandbox.run_case(
-                    code, stdin=c.get("input", ""),
-                    expected_stdout=c.get("output", "")))
-        results = sandbox.map_cases(fns)
+        results = sandbox.map_cases(_sandbox_case_fns(code, test_cases,
+                                                      sandbox))
         return sum(results) / len(results)
     passed = 0
     for case in test_cases:
@@ -217,9 +234,31 @@ def score_response(response: str, test_cases, timeout: float = 6.0,
 def compute_code_rewards(responses: Sequence[str], test_cases_list: Sequence,
                          timeout: float = 6.0, code_url: Optional[str] = None
                          ) -> Dict:
-    sandbox = RemoteSandbox(code_url, timeout=timeout) if code_url else None
-    scores = np.array([score_response(r, t, timeout, sandbox=sandbox)
-                       for r, t in zip(responses, test_cases_list)], np.float32)
+    if code_url:
+        # ONE pool over every (response, case) pair: slow cases of different
+        # responses overlap (the reference's single semaphore-20 aiohttp
+        # pool, code_sandbox_reward_worker.py) instead of serializing a
+        # worst-case urlopen+retry chain per response
+        sandbox = RemoteSandbox(code_url, timeout=timeout)
+        flat, spans = [], []
+        for r, t in zip(responses, test_cases_list):
+            prep = _prep_cases(r, t)
+            if prep is None:
+                spans.append(None)
+                continue
+            code, cases = prep
+            fns = _sandbox_case_fns(code, cases, sandbox)
+            spans.append((len(flat), len(flat) + len(fns)))
+            flat.extend(fns)
+        results = sandbox.map_cases(flat) if flat else []
+        scores = np.array(
+            [0.0 if sp is None else
+             sum(results[sp[0]:sp[1]]) / (sp[1] - sp[0]) for sp in spans],
+            np.float32)
+    else:
+        scores = np.array([score_response(r, t, timeout)
+                           for r, t in zip(responses, test_cases_list)],
+                          np.float32)
     return {"scores": scores,
             "response_level_rewards": scores,
             "metrics": {"code/pass_rate": float(scores.mean()),
