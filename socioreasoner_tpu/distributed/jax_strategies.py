@@ -81,7 +81,13 @@ def _micro_batched_log_probs(logprob_step, params, batch: BatchProto,
     div = _batch_divisor(mesh)
     mb = max(div, (mb // div) * div)
     img = batch.meta.get("image_embeds")
-    per_sample_img = None if img is None else img.shape[0] // max(n, 1)
+    # per-sample image-row counts: ragged (agentic episodes carry different
+    # image counts) via meta["image_embeds_rows"], else uniform rows/sample
+    rows = batch.meta.get("image_embeds_rows")
+    if img is not None and rows is None:
+        rows = np.full(n, img.shape[0] // max(n, 1), np.int64)
+    offs = None if rows is None else np.concatenate(
+        [[0], np.cumsum(np.asarray(rows, np.int64))])
     outs: Dict[str, list] = {}
     for start in range(0, n, mb):
         chunk = batch.slice(start, start + mb)
@@ -92,9 +98,8 @@ def _micro_batched_log_probs(logprob_step, params, batch: BatchProto,
             device_batch = {k: np.concatenate(
                 [v, np.repeat(v[-1:], pad, axis=0)], axis=0)
                 for k, v in device_batch.items()}
-        if img is not None:
-            device_batch["image_embeds"] = \
-                img[start * per_sample_img:(start + k0) * per_sample_img]
+        if img is not None and offs[start + k0] > offs[start]:
+            device_batch["image_embeds"] = img[offs[start]:offs[start + k0]]
         with _mesh_ctx(mesh):
             out = logprob_step(params, _put_batch(device_batch, mesh))
         for k, v in out.items():

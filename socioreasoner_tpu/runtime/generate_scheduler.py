@@ -424,3 +424,96 @@ class DynamicSamplingScheduler:
             metrics[f"scheduler/{domain}/score/min"] = float(v.min())
         out_batch.meta["metrics"] = metrics
         return out_batch
+
+
+class RequestScheduler:
+    """One-request-at-a-time rollout proxy for agentic env loops (ref
+    generate_scheduler.py:763-831).
+
+    Each request source (an env thread, identified by `src_rank`) gets a
+    STICKY dp worker assigned round-robin on first use — successive turns of
+    one episode land on the same engine so its prefix cache sees the growing
+    multi-turn prompt. `generate_one_request` blocks until the response
+    callback fires; `abort_request` unblocks the caller with None (the ref's
+    aborted-request contract)."""
+
+    def __init__(self, cluster, pipeline_config=None):
+        self.cluster = cluster
+        self.pipeline_config = pipeline_config
+        self._worker_iter = itertools.cycle(range(len(cluster.workers)))
+        self._src2dp: Dict[Any, int] = {}
+        self._rid2dp: Dict[Any, int] = {}
+        # rid -> [threading.Event, output-or-None]
+        self._pending: Dict[Any, List] = {}
+        self._lock = threading.Lock()
+
+    def generate_one_request(self, data: BatchProto) -> Optional[BatchProto]:
+        rid = data.meta["request_id"]
+        src = data.meta.get("src_rank", rid)
+        with self._lock:
+            if src not in self._src2dp:
+                self._src2dp[src] = next(self._worker_iter)
+            dp = self._src2dp[src]
+            box = [threading.Event(), None]
+            self._pending[rid] = box
+            self._rid2dp[rid] = dp
+
+        def callback(out):
+            with self._lock:
+                b = self._pending.pop(rid, None)
+                self._rid2dp.pop(rid, None)
+            if b is not None:
+                b[1] = out
+                b[0].set()
+
+        ids = np.asarray(data.batch["input_ids"][0])
+        attn = (np.asarray(data.batch["attention_mask"][0])
+                if "attention_mask" in data.batch else np.ones_like(ids))
+        valid = attn == 1
+        pos = None
+        if "position_ids" in data.batch:
+            pos = np.asarray(data.batch["position_ids"][0])[:, valid]
+        sampling = data.meta.get("sampling")
+        if sampling is None:
+            from ..generation.sampling import SamplingParams
+            sampling = SamplingParams.from_generating_args(
+                data.meta["generating_args"])
+        self.cluster.workers[dp].add_request(GenerateRequestType.ADD, {
+            "request_id": rid, "prompt_ids": ids[valid].tolist(),
+            "sampling": sampling, "position_ids": pos,
+            "image_embeds": data.meta.get("image_embeds"),
+            "callback": callback})
+        timeout = getattr(self.pipeline_config, "rpc_timeout", None) or 3600.0
+        if not box[0].wait(timeout):
+            self.abort_request(rid)
+            raise TimeoutError(f"request {rid!r} timed out after {timeout}s")
+        out = box[1]
+        if out is None or not getattr(out, "output_ids", None):
+            return None                                 # aborted
+        # unified right-padded single-row batch (the ref applies
+        # postprocess_generate; a single unpadded request needs no roll)
+        prompt_ids = ids[valid]
+        seq = np.concatenate([prompt_ids,
+                              np.asarray(out.output_ids, np.int64)])[None]
+        resp = np.zeros_like(seq)
+        resp[:, len(prompt_ids):] = 1
+        return BatchProto.from_dict(
+            tensors={"input_ids": seq,
+                     "attention_mask": np.ones_like(seq),
+                     "response_mask": resp},
+            meta={**data.meta, "output_token_ids": [list(out.output_ids)],
+                  "finish_reason": getattr(out, "finish_reason", None)})
+
+    def abort_request(self, request_id) -> None:
+        """ref :820-831: route ABORT to the owning worker, release the waiter
+        with None."""
+        with self._lock:
+            dp = self._rid2dp.get(request_id)
+            box = self._pending.pop(request_id, None)
+            self._rid2dp.pop(request_id, None)
+        if dp is not None:
+            self.cluster.workers[dp].add_request(
+                GenerateRequestType.ABORT, {"request_id": request_id})
+        if box is not None:
+            box[1] = None
+            box[0].set()
