@@ -64,6 +64,55 @@ def make_optimizer(lr: float = 1e-6, weight_decay: float = 0.0, b1: float = 0.9,
     return opt
 
 
+def chunked_logp_entropy(params, hidden: jnp.ndarray, labels: jnp.ndarray,
+                         chunk_size: int = 256, with_entropy: bool = True
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(B, L, H) hidden + (B, L) labels → fp32 (logp, entropy), each (B, L),
+    WITHOUT materializing the (B, L, V) logits.
+
+    The lm-head matmul + softmax stats run per sequence chunk under a
+    sequential lax.map with remat: peak extra HBM is B×chunk×V fp32 (≈0.6 GB
+    at the 3B train shape, B=4 c=256) instead of the full B×L×V logits
+    (≈5.6 GB bf16 at B=8 L=2304 V=152k) — the unlock for single-chip 3B
+    GRPO steps on a 16 GB v5e, and less HBM write traffic everywhere.
+    Backward recomputes each chunk's logits (remat); the head weight's
+    gradient accumulates across chunks inside the scan. Numerically identical
+    to log_probs_from_logits/entropy_from_logits (same fp32 softmax)."""
+    from ..ops.quant import head_logits
+    B, L, H = hidden.shape
+    C = min(chunk_size, L)
+    n = -(-L // C)
+    pad = n * C - L
+    if pad:
+        hidden = jnp.pad(hidden, ((0, 0), (0, pad), (0, 0)))
+        labels = jnp.pad(labels, ((0, 0), (0, pad)))
+    h = hidden.reshape(B, n, C, H).transpose(1, 0, 2, 3)     # (n, B, C, H)
+    y = labels.reshape(B, n, C).transpose(1, 0, 2)
+
+    @jax.checkpoint
+    def body(hc, yc):
+        logits = head_logits(params, hc).astype(jnp.float32)
+        logz = jax.nn.logsumexp(logits, axis=-1)
+        lp = jnp.take_along_axis(logits, yc[..., None], axis=-1)[..., 0] - logz
+        if with_entropy:
+            pd = jax.nn.softmax(logits, axis=-1)
+            ent = logz - jnp.sum(pd * logits, axis=-1)
+        else:
+            ent = jnp.zeros_like(lp)
+        return lp, ent
+
+    lp, ent = jax.lax.map(lambda args: body(*args), (h, y))
+    lp = lp.transpose(1, 0, 2).reshape(B, n * C)[:, :L]
+    ent = ent.transpose(1, 0, 2).reshape(B, n * C)[:, :L]
+    return lp, ent
+
+
+def _head_chunk_default() -> int:
+    """Env-tunable chunk for the fused head (0 disables → full logits)."""
+    import os
+    return int(os.environ.get("SOCIO_HEAD_CHUNK", "256"))
+
+
 def _model_log_probs(config: Qwen25VLConfig, params, batch: Dict,
                      remat: bool, with_entropy: bool = True,
                      use_flash: bool = False, cp=None, pp=None, vp_mesh=None):
@@ -75,6 +124,19 @@ def _model_log_probs(config: Qwen25VLConfig, params, batch: Dict,
     arrays cross the permutation, never the (B, L, V) logits."""
     ids = batch["input_ids"]
     if cp is None:
+        head_chunk = _head_chunk_default()
+        if pp is None and vp_mesh is None and head_chunk:
+            # fused chunked head: logp/entropy straight from hidden states,
+            # the (B, L, V) logits never materialize (see chunked_logp_entropy)
+            hidden, _ = qmodel.forward(
+                config, params, ids, batch["position_ids"],
+                batch.get("attention_mask"),
+                image_embeds=batch.get("image_embeds"),
+                vision_inputs=batch.get("vision_inputs"),
+                remat=remat, use_flash=use_flash, logits=False)
+            return chunked_logp_entropy(params, hidden[:, :-1], ids[:, 1:],
+                                        chunk_size=head_chunk,
+                                        with_entropy=with_entropy)
         logits, _ = qmodel.forward(
             config, params, ids, batch["position_ids"],
             batch.get("attention_mask"),

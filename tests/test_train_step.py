@@ -174,3 +174,44 @@ def test_topr_loss_variant():
                                   None, jnp.array(adv), jnp.array(mask),
                                   PPOLossConfig(use_kl_loss=False))
     assert abs(float(loss) - float(loss_ppo)) > 1e-6
+
+
+def test_chunked_head_matches_full_logits():
+    """chunked_logp_entropy (fused head, no (B,L,V) logits) must match the
+    full-logits path in values AND grads, including non-divisible L."""
+    import os
+    from socioreasoner_tpu.distributed import trainer as T
+
+    cfg = Qwen25VLConfig.tiny(512)
+    params = qmodel.init_params(cfg, jax.random.key(0), jnp.float32,
+                                with_vision=False)
+    rng = np.random.default_rng(0)
+    B, L = 2, 37                       # L % chunk != 0 exercises the pad path
+    batch = {"input_ids": jnp.asarray(rng.integers(5, 290, size=(B, L))),
+             "position_ids": jnp.tile(jnp.arange(L)[None, None], (B, 3, 1)),
+             "attention_mask": jnp.ones((B, L), jnp.int32)}
+
+    def run(chunk):
+        os.environ["SOCIO_HEAD_CHUNK"] = chunk
+        try:
+            return T._model_log_probs(cfg, params, batch, remat=False)
+        finally:
+            os.environ.pop("SOCIO_HEAD_CHUNK", None)
+
+    lp0, e0 = run("0")
+    lp1, e1 = run("8")
+    np.testing.assert_allclose(np.asarray(lp0), np.asarray(lp1), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(e0), np.asarray(e1), atol=1e-5)
+
+    def loss(p, chunk):
+        os.environ["SOCIO_HEAD_CHUNK"] = chunk
+        try:
+            lp, ent = T._model_log_probs(cfg, p, batch, remat=False)
+            return lp.mean() + 0.1 * ent.mean()
+        finally:
+            os.environ.pop("SOCIO_HEAD_CHUNK", None)
+
+    g0 = jax.grad(lambda p: loss(p, "0"))(params)
+    g1 = jax.grad(lambda p: loss(p, "8"))(params)
+    errs = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), g0, g1)
+    assert max(jax.tree.leaves(errs)) < 1e-6
