@@ -67,3 +67,47 @@ def load_dataset_any(file_name: Optional[str] = None,
         return rows
     raise FileNotFoundError(f"no dataset at file_name={file_name!r} "
                             f"dataset_dir={dataset_dir!r}")
+
+
+# ----------------------------------------------------- dataset-type registry
+
+REGISTERED_DATASETS: Dict[str, Any] = {}
+
+
+def register_dataset(key: str):
+    """ref roll/datasets/dataset.py:15-21."""
+    def deco(fn):
+        if key in REGISTERED_DATASETS:
+            raise ValueError(f"Dataset type '{key}' already exists!")
+        REGISTERED_DATASETS[key] = fn
+        return fn
+    return deco
+
+
+def get_dataset(data_args) -> List[Dict[str, Any]]:
+    """Dispatch by data_args.dataset_type (ref dataset.py:23-37)."""
+    key = getattr(data_args, "dataset_type", None) or "default"
+    if key not in REGISTERED_DATASETS:
+        raise ValueError(f"Dataset type '{key}' is not found! Available "
+                         f"datasets: {sorted(REGISTERED_DATASETS)}")
+    paths = getattr(data_args, "file_name", None)
+    if isinstance(paths, str):
+        paths = [paths]
+    return REGISTERED_DATASETS[key](paths or [], data_args)
+
+
+@register_dataset("default")
+@register_dataset("json")
+def _default_json_dataset(paths: List[str], data_args) -> List[Dict[str, Any]]:
+    rows: List[Dict[str, Any]] = []
+    for p in paths:
+        rows.extend(load_rows(p))
+    return rows
+
+
+@register_dataset("socioseg")
+def _socioseg_dataset(paths: List[str], data_args):
+    from .socioseg import load_socioseg
+    src = (paths[0] if paths
+           else getattr(data_args, "dataset_dir", None) or "vvangfaye/SocioSeg")
+    return load_socioseg(src, split=getattr(data_args, "split", "train"))

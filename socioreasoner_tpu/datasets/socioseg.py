@@ -144,6 +144,90 @@ def load_socioseg_dir(root: str, split: str = "train") -> List[Dict[str, Any]]:
     return samples
 
 
+# --------------------------------------------------- HF-hub builder (parity)
+
+def _hf_datasets():
+    import datasets as hf_datasets
+    return hf_datasets
+
+
+def make_socioseg_builder():
+    """HF GeneratorBasedBuilder for the SocioSeg layout (code parity with
+    `roll/datasets/dataset.py:49-120` SocioSegDataset): features
+    {id, problem, map_image, sat_image, mask_label}, train/val splits from
+    `data_dir`, incomplete tile dirs skipped. Defined inside a factory so the
+    HF `datasets` import stays lazy."""
+    hfd = _hf_datasets()
+
+    class SocioSegDataset(hfd.GeneratorBasedBuilder):
+        def _info(self):
+            return hfd.DatasetInfo(
+                description="SocioSeg Dataset",
+                features=hfd.Features({
+                    "id": hfd.Value("string"),
+                    "problem": hfd.Value("string"),
+                    "map_image": hfd.Image(),
+                    "sat_image": hfd.Image(),
+                    "mask_label": hfd.Image(),
+                }),
+            )
+
+        def _split_generators(self, dl_manager):
+            data_dir = self.config.data_dir
+            if not data_dir or not os.path.isdir(data_dir):
+                raise ValueError("please provide a valid data_dir")
+            return [
+                hfd.SplitGenerator(
+                    name=hfd.Split.TRAIN,
+                    gen_kwargs={"data_dir": os.path.join(data_dir, "train")}),
+                hfd.SplitGenerator(
+                    name=hfd.Split.VALIDATION,
+                    gen_kwargs={"data_dir": os.path.join(data_dir, "val")}),
+            ]
+
+        def _generate_examples(self, data_dir):
+            tile_dirs = sorted(d for d in os.listdir(data_dir)
+                               if os.path.isdir(os.path.join(data_dir, d)))
+            for tile_id in tile_dirs:
+                d = os.path.join(data_dir, tile_id)
+                paths = {k: os.path.join(d, f"{k}.png")
+                         for k in ("map", "sat", "mask")}
+                qpath = os.path.join(d, "question.json")
+                if not all(os.path.exists(p)
+                           for p in [qpath, *paths.values()]):
+                    continue                      # ref :102 skips incomplete
+                try:
+                    with open(qpath, encoding="utf-8") as f:
+                        problem = json.load(f).get("problem", "")
+                except (OSError, json.JSONDecodeError):
+                    continue
+                yield tile_id, {
+                    "id": tile_id,
+                    "problem": problem,
+                    "map_image": paths["map"],
+                    "sat_image": paths["sat"],
+                    "mask_label": paths["mask"],
+                }
+
+    return SocioSegDataset
+
+
+def load_socioseg(name_or_dir: str, split: str = "train"):
+    """Load SocioSeg via HF `datasets` (the reference's load path,
+    `rlvr_socioseg_vlm_pipeline_infer.py:293` load_dataset("vvangfaye/SocioSeg")).
+
+    A local directory uses the builder above (no egress); a hub id delegates
+    to `datasets.load_dataset`, which needs network access — environments
+    without egress should pre-download and pass the directory."""
+    hfd = _hf_datasets()
+    split = {"val": "validation"}.get(split, split)
+    if os.path.isdir(name_or_dir):
+        builder = make_socioseg_builder()(data_dir=name_or_dir)
+        builder.download_and_prepare()
+        return builder.as_dataset(split=split)
+    return hfd.load_dataset(name_or_dir, split=split)
+
+
 # ------------------------------------------------------------------ rendering
 
 def render_visual_prompt(bboxes_json: str, images: Sequence[Image.Image],

@@ -84,3 +84,55 @@ def test_context_managers():
         x = jnp.ones((10, 10)) @ jnp.ones((10, 10))
         x.block_until_ready()
     assert "time/op/total" in metrics and metrics["time/op/total"] > 0
+
+
+def test_socioseg_hf_builder(tmp_path):
+    """HF-hub dataset builder parity (ref roll/datasets/dataset.py:49-120):
+    features schema, split dirs, incomplete tiles skipped."""
+    import json
+    import numpy as np
+    from PIL import Image
+
+    for split in ("train", "val"):
+        for tid in ("t1", "t2"):
+            d = tmp_path / split / f"{split}_{tid}"
+            d.mkdir(parents=True)
+            for k in ("map", "sat", "mask"):
+                Image.fromarray(np.zeros((32, 32, 3), np.uint8)).save(
+                    str(d / f"{k}.png"))
+            (d / "question.json").write_text(
+                json.dumps({"problem": f"find {tid}"}))
+    (tmp_path / "train" / "broken").mkdir()      # must be skipped
+
+    from socioreasoner_tpu.datasets.socioseg import load_socioseg
+    ds = load_socioseg(str(tmp_path), split="train")
+    assert len(ds) == 2
+    row = ds[0]
+    assert set(row) == {"id", "problem", "map_image", "sat_image", "mask_label"}
+    assert row["problem"].startswith("find")
+    assert row["map_image"].size == (32, 32)
+    assert len(load_socioseg(str(tmp_path), split="val")) == 2
+
+
+def test_dataset_type_registry(tmp_path):
+    """ref dataset.py:13-37 REGISTERED_DATASETS dispatch."""
+    import json
+    import pytest
+    from socioreasoner_tpu.datasets.loader import get_dataset
+
+    p = tmp_path / "rows.jsonl"
+    p.write_text("\n".join(json.dumps({"prompt": f"q{i}"}) for i in range(3)))
+
+    class Args:
+        dataset_type = "json"
+        file_name = str(p)
+
+    rows = get_dataset(Args())
+    assert len(rows) == 3 and rows[0]["prompt"] == "q0"
+
+    class Bad:
+        dataset_type = "nope"
+        file_name = None
+
+    with pytest.raises(ValueError):
+        get_dataset(Bad())

@@ -121,6 +121,20 @@ def test_chat_templates():
     assert get_chat_template("longcot")(msgs).endswith("<think>\n")
     with pytest.raises(KeyError):
         get_chat_template("nope")
+    # reference registry names (ref chat_template.py:36-84)
+    assert get_chat_template("native")(msgs) == get_chat_template("qwen2_5")(msgs)
+    lc = get_chat_template("longCOT_qwen2.5")(msgs)
+    assert "boxed" in lc and "<|begin_of_thought|>" in lc
+    assert get_chat_template("longcot_V3")(msgs).endswith("<think>\n")
+    b = get_chat_template("base")(msgs)
+    assert "User: hi Assistant:" in b and "<think>" in b
+    e = get_chat_template("empty")(msgs)
+    assert e == "<|im_start|>user\nhi<|im_end|>\n<|im_start|>assistant\n"
+    # default system injected only when absent (ref add_default_system)
+    sysmsgs = [{"role": "system", "content": "S"},
+               {"role": "user", "content": "hi"}]
+    assert get_chat_template("chatml")(sysmsgs).startswith(
+        "<|im_start|>system\nS<|im_end|>\n")
 
 
 def test_worker_state_roundtrip(tmp_path):
