@@ -69,6 +69,17 @@ def _batch_divisor(mesh) -> int:
     return (mesh.shape.get("dp", 1) * mesh.shape.get("fsdp", 1))
 
 
+def _fetch_global(v) -> np.ndarray:
+    """Device array → host numpy, valid under multi-process jax.distributed:
+    an output sharded over a mesh spanning other processes' devices cannot be
+    read with np.asarray — allgather its shards first (every process gets the
+    full global value; the host driver is SPMD-replicated across processes)."""
+    if getattr(v, "is_fully_addressable", True):
+        return np.asarray(v)
+    from jax.experimental import multihost_utils
+    return np.asarray(multihost_utils.process_allgather(v, tiled=True))
+
+
 def _micro_batched_log_probs(logprob_step, params, batch: BatchProto,
                              worker_config, mesh=None) -> Dict[str, np.ndarray]:
     """Micro-batched forward (ref forward_step micro-batching,
@@ -103,7 +114,7 @@ def _micro_batched_log_probs(logprob_step, params, batch: BatchProto,
         with _mesh_ctx(mesh):
             out = logprob_step(params, _put_batch(device_batch, mesh))
         for k, v in out.items():
-            outs.setdefault(k, []).append(np.asarray(v)[:k0])
+            outs.setdefault(k, []).append(_fetch_global(v)[:k0])
     return {k: np.concatenate(v, axis=0) for k, v in outs.items()}
 
 
