@@ -156,6 +156,53 @@ def stage_engine():
     log("engine stage OK")
 
 
+def stage_stepwise():
+    """Localize the faulting decode-step index: decode_chunk=1, drive
+    engine.step() manually, flush a marker (step #, per-slot kvlen extremes)
+    BEFORE each dispatch — the crash surfaces at the following readback, so
+    the last printed marker names the poisoned step. Knobs: --slots N,
+    --n-new N, --prompt-len N (defaults 24/65/400)."""
+    import jax.numpy as jnp
+
+    import jax
+    from socioreasoner_tpu.generation.engine import DecodeEngine, Request
+    from socioreasoner_tpu.generation.sampling import SamplingParams
+    from socioreasoner_tpu.models.qwen2_5_vl import model as qmodel
+    from socioreasoner_tpu.models.qwen2_5_vl.config import Qwen25VLConfig
+
+    def argval(name, default):
+        return (int(sys.argv[sys.argv.index(name) + 1])
+                if name in sys.argv else default)
+
+    slots = argval("--slots", 24)
+    n_new = argval("--n-new", 65)
+    prompt_len = argval("--prompt-len", 400)
+    config = Qwen25VLConfig()
+    log(f"stepwise: init params; slots={slots} n_new={n_new} "
+        f"prompt_len={prompt_len}")
+    params = qmodel.init_params(config, jax.random.key(0), dtype=jnp.bfloat16,
+                                with_vision=False)
+    engine = DecodeEngine(config, params, max_slots=slots, max_len=4096,
+                          decode_chunk=1,
+                          prefill_buckets=(512,), max_prefill_batch=8,
+                          kv_quant="int8")
+    log(f"engine built (Lalloc={engine.Lalloc})")
+    rng = np.random.default_rng(0)
+    sp = SamplingParams(temperature=1.0, top_p=0.8, max_new_tokens=n_new)
+    for i in range(slots):
+        engine.waiting.append(Request(
+            request_id=i,
+            prompt_ids=rng.integers(10, 100000, size=prompt_len).tolist(),
+            sampling=sp))
+    k = 0
+    while engine.has_work():
+        log(f"step {k}: steps_executed={engine.steps_executed} "
+            f"len[min,max]=({engine.lengths.min()},{engine.lengths.max()})")
+        engine.step()
+        k += 1
+    log(f"stepwise OK: {engine.steps_executed} decode steps")
+
+
 def stage_resident():
     _text_engine(with_resident=True)
     log("resident stage OK")
@@ -443,4 +490,5 @@ if __name__ == "__main__":
          resident=stage_resident, bench=stage_bench,
          chunkloop=stage_chunkloop,
          prefillscatter=stage_prefillscatter,
-         scatterthenchunk=stage_scatterthenchunk)[stage]()
+         scatterthenchunk=stage_scatterthenchunk,
+         stepwise=stage_stepwise)[stage]()
