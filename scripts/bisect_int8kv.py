@@ -362,6 +362,13 @@ def stage_chunkloop():
                     sample per step like the real decode loop
       --mlp         add a (S, H)x(H, 4H)x(4H, H) matmul pair per layer
                     (VMEM-pressure stand-in for the transformer MLP)
+      --embed       gather the next q from a (V, hidden) embedding table with
+                    the PREVIOUS iteration's sampled token (the real loop's
+                    data-dependent last_token feedback)
+      --head        real (S, hidden) @ (hidden, V) lm-head matmul for the
+                    sample logits instead of broadcast_to
+      --valid       recompute a (S, Lalloc) kv_valid mask per iteration like
+                    the real loop body
     """
     import functools
 
@@ -391,14 +398,22 @@ def stage_chunkloop():
     loop = "--no-loop" not in args
     sample = "--sample" in args
     mlp = "--mlp" in args
+    embed = "--embed" in args
+    head = "--head" in args
+    valid = "--valid" in args
+    if embed or head:
+        sample = True                      # both need the sampled token/logits
     log(f"chunkloop layers={layers} steps={steps} S={S} Lalloc={Lalloc} "
         f"write={write} kernel={kernel} donate={donate} loop={loop} "
-        f"sample={sample} mlp={mlp}")
+        f"sample={sample} mlp={mlp} embed={embed} head={head} valid={valid}")
     hidden, V = 2048, 151936
     mlp_w = (jnp.asarray(np.random.default_rng(1).normal(
                  size=(hidden, 4 * hidden)) * 0.01, jnp.bfloat16),
              jnp.asarray(np.random.default_rng(2).normal(
                  size=(4 * hidden, hidden)) * 0.01, jnp.bfloat16)) if mlp else None
+    embed_w = (jnp.asarray(np.random.default_rng(3).normal(
+                   size=(V, hidden)) * 0.01, jnp.bfloat16)
+               if (embed or head) else None)
 
     caches = {
         "k": jnp.zeros((layers, S, Lalloc, Hkv, D), jnp.int8),
@@ -411,10 +426,18 @@ def stage_chunkloop():
                      jnp.bfloat16)
     bidx = jnp.arange(S)[:, None]
 
-    def body_once(caches, lengths, q, acc):
+    def body_once(caches, lengths, q, acc, tok):
         cache_positions = lengths[:, None]
         k_all, v_all = caches["k"], caches["v"]
         ks_all, vs_all = caches["k_scale"], caches["v_scale"]
+        if embed:
+            # the real loop's data-dependent feedback: iteration i's q comes
+            # from an embedding-table gather of iteration i-1's sampled token
+            q = embed_w[tok].reshape(S, H, D).astype(jnp.bfloat16)
+        if valid:
+            kv_valid = (jnp.arange(Lalloc)[None, :]
+                        < (lengths + 1)[:, None]).astype(jnp.int32)
+            acc = acc + kv_valid.sum().astype(jnp.float32) * 1e-9
         for i in range(layers):
             kv_new = (q[:, :Hkv] * (1.0 + acc))[:, None]     # (S, 1, Hkv, D)
             if write:
@@ -435,7 +458,11 @@ def stage_chunkloop():
         if sample:
             # the real decode loop ends each step with approx_max_k (TPU
             # PartialReduce) over (S, V) + a categorical draw
-            logits = jnp.broadcast_to(acc, (S, V)).astype(jnp.float32)
+            if head:
+                h = jnp.broadcast_to(acc, (S, hidden)).astype(jnp.bfloat16)
+                logits = (h @ embed_w.T).astype(jnp.float32)
+            else:
+                logits = jnp.broadcast_to(acc, (S, V)).astype(jnp.float32)
             logits = logits + jax.lax.broadcasted_iota(
                 jnp.float32, (S, V), 1) * 1e-6
             vals, idx = jax.lax.approx_max_k(logits, 256, recall_target=0.95)
@@ -445,24 +472,27 @@ def stage_chunkloop():
             tok = jnp.take_along_axis(idx, choice[:, None], axis=-1)[:, 0]
             acc = acc + tok.astype(jnp.float32).mean() * 1e-9
         return (dict(caches, k=k_all, v=v_all, k_scale=ks_all, v_scale=vs_all),
-                lengths + 1, acc)
+                lengths + 1, acc, tok)
+
+    tok0 = jnp.zeros((S,), jnp.int32)
 
     def chunk(caches, lengths, q):
         if not loop:
-            caches, lengths, acc = body_once(caches, lengths, q,
-                                             jnp.float32(0.0))
+            caches, lengths, acc, _ = body_once(caches, lengths, q,
+                                                jnp.float32(0.0), tok0)
             return caches, lengths, acc
 
         def cond(c):
             return c[0] < steps
 
         def wbody(c):
-            i, caches, lengths, acc = c
-            caches, lengths, acc = body_once(caches, lengths, q, acc)
-            return (i + 1, caches, lengths, acc)
+            i, caches, lengths, acc, tok = c
+            caches, lengths, acc, tok = body_once(caches, lengths, q, acc, tok)
+            return (i + 1, caches, lengths, acc, tok)
 
-        _, caches, lengths, acc = jax.lax.while_loop(
-            cond, wbody, (jnp.int32(0), caches, lengths, jnp.float32(0.0)))
+        _, caches, lengths, acc, _ = jax.lax.while_loop(
+            cond, wbody, (jnp.int32(0), caches, lengths, jnp.float32(0.0),
+                          tok0))
         return caches, lengths, acc
 
     fn = jax.jit(chunk, donate_argnums=(0,) if donate else ())
