@@ -36,12 +36,17 @@ NEG_INF = -1e30
 
 def _attn_kernel(kvlen_ref, q_ref, k_ref, v_ref, o_ref, *,
                  scale: float, causal: bool, block_k: int, seq_k: int):
-    """One (batch*head, q-block) program. q_ref: (bq, D); k/v: (Lk, D);
-    kvlen_ref: (BH,) int32 scalar-prefetch — valid KV length per row
-    (masks are contiguous-prefix: right-padded batches)."""
+    """One (batch*kv-head, q-head-in-group, q-block) program. q_ref: (bq, D);
+    k/v: (Lk, D); kvlen_ref: (B*Hkv,) int32 scalar-prefetch — valid KV length
+    per row (masks are contiguous-prefix: right-padded batches).
+
+    GQA FOLD: grid dim 1 iterates the q heads sharing this program's KV head,
+    so the K/V BlockSpec index (b, 0, 0) repeats across (rep × nq) grid steps
+    and Mosaic elides the re-DMA — K/V crosses HBM once per KV head, not once
+    per q head (8× less KV traffic at Qwen2.5's 16q/2kv)."""
     bq, D = q_ref.shape
     bh = pl.program_id(0)
-    iq = pl.program_id(1)
+    iq = pl.program_id(2)
     q = q_ref[:].astype(jnp.float32) * scale
     kv_len = kvlen_ref[bh]
 
@@ -164,49 +169,51 @@ def flash_attention(
     block_k: int = 128,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Flash attention; GQA KV heads broadcast. Returns (B, Lq, H, D)."""
+    """Flash attention; GQA KV heads folded into the grid (no K/V repeat).
+    Returns (B, Lq, H, D)."""
     B, Lq, H, D = q.shape
     Hkv = k.shape[2]
+    assert H % Hkv == 0, (H, Hkv)
+    rep = H // Hkv
     scale = D ** -0.5
-    if Hkv != H:
-        rep = H // Hkv
-        k = jnp.repeat(k, rep, axis=2)
-        v = jnp.repeat(v, rep, axis=2)
 
-    # (B*H, L, D) layout
-    qh = q.transpose(0, 2, 1, 3).reshape(B * H, Lq, D)
-    kh = k.transpose(0, 2, 1, 3).reshape(B * H, -1, D)
-    vh = v.transpose(0, 2, 1, 3).reshape(B * H, -1, D)
-    qh, Lq0 = _pad_to(qh, 1, block_q)
+    # q: (B, H, Lq, D) → (B*Hkv, rep, Lq, D); q head h = hkv*rep + r shares
+    # KV head hkv = h // rep, matching HF GQA broadcast order.
+    qh = q.transpose(0, 2, 1, 3).reshape(B * Hkv, rep, Lq, D)
+    kh = k.transpose(0, 2, 1, 3).reshape(B * Hkv, -1, D)
+    vh = v.transpose(0, 2, 1, 3).reshape(B * Hkv, -1, D)
+    qh, Lq0 = _pad_to(qh, 2, block_q)
     kh, Lk0 = _pad_to(kh, 1, block_k)
     vh, _ = _pad_to(vh, 1, block_k)
-    Lqp, Lkp = qh.shape[1], kh.shape[1]
+    Lqp, Lkp = qh.shape[2], kh.shape[1]
 
     if attention_mask is None:
         kv_lens = jnp.full((B,), Lk0, jnp.int32)
     else:
         kv_lens = attention_mask.astype(jnp.int32).sum(axis=-1)
-    kv_lens = jnp.repeat(kv_lens, H)                    # (B*H,)
+    kv_lens = jnp.repeat(kv_lens, Hkv)                  # (B*Hkv,)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B * H, Lqp // block_q),
+        grid=(B * Hkv, rep, Lqp // block_q),
         in_specs=[
-            pl.BlockSpec((None, block_q, D), lambda b, i, *_: (b, i, 0)),
-            pl.BlockSpec((None, Lkp, D), lambda b, i, *_: (b, 0, 0)),
-            pl.BlockSpec((None, Lkp, D), lambda b, i, *_: (b, 0, 0)),
+            pl.BlockSpec((None, None, block_q, D),
+                         lambda b, r, i, *_: (b, r, i, 0)),
+            pl.BlockSpec((None, Lkp, D), lambda b, r, i, *_: (b, 0, 0)),
+            pl.BlockSpec((None, Lkp, D), lambda b, r, i, *_: (b, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((None, block_q, D), lambda b, i, *_: (b, i, 0)),
+        out_specs=pl.BlockSpec((None, None, block_q, D),
+                               lambda b, r, i, *_: (b, r, i, 0)),
     )
     kernel = functools.partial(_attn_kernel, scale=scale, causal=causal,
                                block_k=block_k, seq_k=Lkp)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B * H, Lqp, D), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B * Hkv, rep, Lqp, D), q.dtype),
         interpret=interpret,
     )(kv_lens, qh, kh, vh)
-    out = out[:, :Lq0].reshape(B, H, Lq0, D).transpose(0, 2, 1, 3)
+    out = (out[:, :, :Lq0].reshape(B, H, Lq0, D).transpose(0, 2, 1, 3))
     return out
 
 
