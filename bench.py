@@ -195,7 +195,8 @@ def bench_socioseg(n_tiles: int = None, max_new: int = 256, tiny: bool = False,
         engine_kwargs={"max_slots": int(os.environ.get("SOCIO_BENCH_SLOTS",
                                                        "0")) or n_tiles,
                        "max_len": max_len,
-                       "decode_chunk": 64,
+                       "decode_chunk": int(os.environ.get(
+                           "SOCIO_BENCH_DECODE_CHUNK", "64")),
                        "prefill_buckets": buckets,
                        **({} if tiny else
                           # 1458 image rows/prompt at 768px: the image bucket

@@ -272,12 +272,25 @@ class JaxTrainStrategy(TrainStrategy):
 
     def train_step(self, batch: BatchProto, loss_func: Callable = None) -> Dict:
         div = _batch_divisor(self.mesh)
-        if len(batch) % div != 0:
-            raise ValueError(
-                f"train batch of {len(batch)} sequences not divisible by the "
-                f"mesh's dp*fsdp={div}; adjust backward_batch_size / "
-                "rollout_batch_size (padding would bias the loss)")
+        pad = (-len(batch)) % div
         device_batch = {k: v for k, v in batch.batch.items()}
+        if pad:
+            # reference pads to the divisor instead of crashing
+            # (protocol.py:28 pad_dataproto_to_divisor). Pad rows repeat row 0
+            # with response_mask (and sample_weights) zeroed: agg_loss drops
+            # all-zero-mask rows from numerator AND denominator in every
+            # loss_agg_mode, so the padded loss/grad is exactly the unpadded
+            # one — only the forward FLOPs of the pad rows are wasted.
+            import numpy as _np
+            for k, v in device_batch.items():
+                rep = _np.repeat(_np.asarray(v[:1]), pad, axis=0)
+                if k in ("response_mask", "sample_weights"):
+                    rep = _np.zeros_like(rep)
+                device_batch[k] = _np.concatenate([_np.asarray(v), rep], axis=0)
+            if "sample_weights" not in device_batch:
+                w = _np.ones((len(batch) + pad,), _np.float32)
+                w[len(batch):] = 0.0
+                device_batch["sample_weights"] = w
         if "image_embeds" in batch.meta:
             device_batch["image_embeds"] = batch.meta["image_embeds"]
         with _mesh_ctx(self.mesh):

@@ -45,6 +45,8 @@ def _decode_kernel(len_ref, *rest, block_k: int,
         ks_hbm, vs_hbm, o_ref = rest
     else:
         (o_ref,) = rest
+    # static cache capacity (token dim is axis -2 dense / -2 packed-quantized)
+    Lmax = k_hbm.shape[2 if stacked else 1]
     if stacked:
         lyr = layer_ref[0]
         k_hbm = k_hbm.at[lyr]
@@ -60,7 +62,10 @@ def _decode_kernel(len_ref, *rest, block_k: int,
     # an all-zero-length group would give nblocks=0: the unconditional
     # start(0, 0) below would leave un-waited DMAs at kernel exit. Clamp to 1 —
     # the col<len mask zeroes every column, so the output is 0 either way.
-    nblocks = jnp.maximum(pl.cdiv(kv_len, block_k), 1)
+    # Upper clamp to the static cache capacity: the block loop drives async
+    # HBM DMAs, so a corrupt length scalar must bound-fault here, never issue
+    # an out-of-range copy (a kernel fault kills the whole TPU worker).
+    nblocks = jnp.clip(pl.cdiv(kv_len, block_k), 1, Lmax // block_k)
     rep = n_heads // n_kv
     q = q_ref[:].astype(jnp.float32) * scale     # (G, H, D)
 

@@ -115,3 +115,32 @@ def test_minibatch_loop_honors_yaml_knobs(bbs, ga, epochs, expect_micro):
     assert all(s == expect_micro for s in sizes)
     # image embeds sliced in lockstep (3 rows per sample)
     assert all(c[1] == c[0] * 3 for c in stub.actor_train.calls)
+
+
+def test_train_step_pads_non_divisible_batch():
+    """A batch not divisible by the mesh's dp*fsdp is padded with
+    zero-response-mask rows (ref protocol.py:28 pad_dataproto_to_divisor
+    role) and the loss/updated params exactly match the unpadded no-mesh
+    step — padding must not bias the loss (VERDICT r4 weak #8)."""
+    from socioreasoner_tpu.parallel.mesh import make_mesh
+
+    config = Qwen25VLConfig.tiny()
+    params = qmodel.init_params(config, jax.random.key(0), with_vision=False)
+    batch = make_batch(config, B=3)               # 3 % (dp=2) != 0
+
+    solo = _make_strategy(params, ga_steps=1)
+    m_solo = solo.train_step(BatchProto.from_dict(tensors=batch))
+
+    cfg = SocioSegConfig()
+    cfg.actor_train.training_args.learning_rate = 1e-3
+    meshed = JaxTrainStrategy(worker_config=cfg.actor_train,
+                              param_store=ParamStore())
+    meshed.initialize(Qwen25VLConfig.tiny(), jax.tree.map(jnp.copy, params),
+                      training_args=cfg.actor_train.training_args,
+                      mesh=make_mesh(dp=2))
+    m_pad = meshed.train_step(BatchProto.from_dict(tensors=batch))
+
+    assert abs(m_solo["actor_train/loss"] - m_pad["actor_train/loss"]) < 1e-5
+    diffs = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                         solo.state.params, meshed.state.params)
+    assert max(jax.tree.leaves(diffs)) < 1e-5
