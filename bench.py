@@ -197,6 +197,10 @@ def bench_socioseg(n_tiles: int = None, max_new: int = 256, tiny: bool = False,
                        "max_len": max_len,
                        "decode_chunk": int(os.environ.get(
                            "SOCIO_BENCH_DECODE_CHUNK", "64")),
+                       # int8-KV workaround: short loop executables, one
+                       # readback per chunk (engine.decode_inner docstring)
+                       "decode_inner": int(os.environ.get(
+                           "SOCIO_BENCH_DECODE_INNER", "0")),
                        "prefill_buckets": buckets,
                        **({} if tiny else
                           # 1458 image rows/prompt at 768px: the image bucket

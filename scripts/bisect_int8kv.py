@@ -98,6 +98,8 @@ def _text_engine(kv_quant="int8", with_resident=False, slots=24,
         os.environ["SOCIO_DISABLE_FLASH"] = "1"
     decode_chunk = (int(sys.argv[sys.argv.index("--decode-chunk") + 1])
                     if "--decode-chunk" in sys.argv else 64)
+    decode_inner = (int(sys.argv[sys.argv.index("--decode-inner") + 1])
+                    if "--decode-inner" in sys.argv else 0)
     from socioreasoner_tpu.generation.engine import DecodeEngine, Request
     from socioreasoner_tpu.generation.sampling import SamplingParams
     from socioreasoner_tpu.models.qwen2_5_vl import model as qmodel
@@ -115,7 +117,7 @@ def _text_engine(kv_quant="int8", with_resident=False, slots=24,
                                            dtype=jnp.bfloat16))
     log(f"params ready; {mem()}")
     engine = DecodeEngine(config, params, max_slots=slots, max_len=max_len,
-                          decode_chunk=decode_chunk,
+                          decode_chunk=decode_chunk, decode_inner=decode_inner,
                           prefill_buckets=(512, 1024, 2048, 4096),
                           max_prefill_batch=8, kv_quant=kv_quant,
                           # --exact: lax.top_k sampling instead of

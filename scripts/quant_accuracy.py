@@ -52,21 +52,37 @@ def greedy_tokens(config, params, prompts, n_new, engine_kwargs):
     return toks
 
 
-def last_logits(config, params, prompts):
+def last_logits(config, params, prompts, act_quant=False):
+    """Last-position logits through the CACHED forward — the path the engine
+    prefill actually runs (text.py matmul_q applies the weight scales there;
+    the uncached path's plain `x @ q_w` would multiply int8 codes without
+    scales and return garbage for a quantized tree)."""
     import jax
     import jax.numpy as jnp
     from socioreasoner_tpu.models.qwen2_5_vl import model as qmodel
     from socioreasoner_tpu.models.qwen2_5_vl import rope as qrope
+    from socioreasoner_tpu.ops.flags import use_flash_attention
+    from socioreasoner_tpu.ops.quant import head_logits
     attn = np.ones_like(prompts, np.int32)
     pos, _ = qrope.get_rope_index(config, prompts, None, attn)
-
-    from socioreasoner_tpu.ops.flags import use_flash_attention
+    B, P = prompts.shape
+    Lyr = config.text.num_hidden_layers
+    Hkv, D = config.text.num_key_value_heads, config.text.head_dim
 
     @jax.jit
     def f(params, ids, pos, attn):
-        logits, _ = qmodel.forward(config, params, ids, pos, attn,
-                                   use_flash=use_flash_attention())
-        return logits[:, -1].astype(jnp.float32)
+        cache = {
+            "k": jnp.zeros((Lyr, B, P, Hkv, D), jnp.bfloat16),
+            "v": jnp.zeros((Lyr, B, P, Hkv, D), jnp.bfloat16),
+            "kv_valid": attn,
+        }
+        cache_positions = jnp.broadcast_to(jnp.arange(P)[None], (B, P))
+        hidden, _ = qmodel.forward(config, params, ids, pos, None,
+                                   cache=cache,
+                                   cache_positions=cache_positions,
+                                   use_flash=use_flash_attention(),
+                                   logits=False, act_quant=act_quant)
+        return head_logits(params, hidden[:, -1]).astype(jnp.float32)
 
     return np.asarray(f(params, jnp.asarray(prompts), jnp.asarray(pos),
                         jnp.asarray(attn)))
@@ -100,32 +116,63 @@ def main():
     del params
     gc.collect()
 
+    def cos(a, b):
+        a = a.astype(np.float64).ravel(); b = b.astype(np.float64).ravel()
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+
     configs = [
-        ("int8w", dict(mode="int8"), dict(weight_quant="int8")),
+        ("int8w", dict(mode="int8"), dict(weight_quant="int8"), False),
         ("int8w+w8a8", dict(mode="int8"), dict(weight_quant="int8",
-                                               act_quant="int8")),
-        ("int4w", dict(mode="int4"), dict(weight_quant="int4")),
+                                               act_quant="int8"), True),
+        ("int4w", dict(mode="int4"), dict(weight_quant="int4"), False),
     ]
-    for name, qkw, engine_kwargs in configs:
+    for name, qkw, engine_kwargs, a8 in configs:
         if tiny and "int4" in name:
             continue
         log(f"{name}…")
         params = quantize_decode_params(fresh_params(), **qkw)
-        logits = last_logits(config, params, prompts)
+        logits = last_logits(config, params, prompts, act_quant=a8)
         denom = np.abs(ref_logits).max()
         rel = np.abs(logits - ref_logits).max() / denom
+        csim = cos(logits, ref_logits)
         top1 = float(np.mean(logits.argmax(-1) == ref_logits.argmax(-1)))
         toks = greedy_tokens(config, params, prompts, n_new, engine_kwargs)
         agree = float(np.mean(toks == ref_toks))
         # first divergence position per prompt (−1 = fully identical)
         first_div = [int(np.argmax(t != r)) if (t != r).any() else -1
                      for t, r in zip(toks, ref_toks)]
-        results[name] = dict(logit_rel_err=float(rel), top1_agree=top1,
+        results[name] = dict(logit_rel_err=float(rel), logit_cos=csim,
+                             top1_agree=top1,
                              greedy_agree=agree, first_divergence=first_div)
-        log(f"  logit rel err {rel:.4f}  top1 {top1:.3f}  "
+        log(f"  logit rel err {rel:.4f}  cos {csim:.5f}  top1 {top1:.3f}  "
             f"greedy agree {agree:.3f}  first_div {first_div}")
         del params
         gc.collect()
+
+    # ---- depth curve: random weights are CHAOTIC in depth (each random
+    # layer amplifies a perturbation; trained nets with layernorm don't) —
+    # the per-depth cosine separates the quantizer's own noise (depth 1-2,
+    # the bound that transfers to real checkpoints) from chaos compounding
+    # (depth 36, a property of random weights, not of the quantizer)
+    curve = {}
+    for depth in ((1, 2) if tiny else (1, 2, 4, 8)):
+        import dataclasses
+        dcfg = dataclasses.replace(
+            config, text=dataclasses.replace(config.text,
+                                             num_hidden_layers=depth))
+        dparams = qmodel.init_params(dcfg, jax.random.key(0), dtype=dtype,
+                                     with_vision=False)
+        r = last_logits(dcfg, dparams, prompts)
+        q8 = last_logits(dcfg, quantize_decode_params(dparams, mode="int8"),
+                         prompts)
+        curve[depth] = dict(
+            cos=cos(q8, r),
+            rel=float(np.abs(q8 - r).max() / np.abs(r).max()))
+        log(f"  depth {depth}: int8w cos {curve[depth]['cos']:.5f} "
+            f"rel {curve[depth]['rel']:.4f}")
+        del dparams
+        gc.collect()
+    results["int8w_depth_curve"] = curve
 
     import json
     print(json.dumps(results))

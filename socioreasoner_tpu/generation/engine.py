@@ -96,6 +96,7 @@ class _PrefixEntry:
 class DecodeEngine:
     def __init__(self, config: Qwen25VLConfig, params, *, max_slots: int = 8,
                  max_len: int = 8192, decode_chunk: int = 16,
+                 decode_inner: int = 0,
                  prefill_buckets: Tuple[int, ...] = (128, 256, 512, 1024, 2048, 4096),
                  # total image rows per batched prefill (VLM requests carry
                  # ~1.5k rows each — the larger buckets let several share one
@@ -185,6 +186,20 @@ class DecodeEngine:
         self.S = max_slots
         self.Lmax = max_len
         self.decode_chunk = decode_chunk
+        # decode_inner > 0 splits a chunk into ceil(chunk/inner)-dispatch
+        # groups of inner-iteration while_loops with ONE readback at the end:
+        # chunk-64 readback economics (the blocking download costs ~32 ms
+        # through the relayed link) with shorter loop executables. Shipped as
+        # the int8-KV workaround: ≥~32-iteration quantized-cache loops fault
+        # the v5e worker (docs/BENCH_MATRIX_r5.md wave 13); early-exit
+        # semantics are preserved exactly by threading `running` through the
+        # device state across the group.
+        if decode_inner and decode_chunk % decode_inner:
+            # the Lalloc slack is sized by decode_chunk, and each inner size
+            # is a separate compiled executable — keep the group exact
+            raise ValueError(f"decode_chunk={decode_chunk} must be a "
+                             f"multiple of decode_inner={decode_inner}")
+        self.decode_inner = decode_inner
         self.prefill_buckets = tuple(b for b in prefill_buckets if b <= max_len)
         self.image_buckets = image_buckets
         # admission batch sizes (pad-to bucket): bounds prefill compile count.
@@ -763,6 +778,7 @@ class DecodeEngine:
             "budget": jnp.asarray(budget),
             "stops": jnp.asarray(stops),
             "key": key,
+            "running": jnp.asarray(active),
         }
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -775,13 +791,32 @@ class DecodeEngine:
         if self._dev_dirty or self._dev_state is None:
             self._refresh_dev_state()
         n = self.decode_chunk
-        self.caches, self._dev_state, packed = self._jit_decode(
-            self.params_q if self.params_q is not None else self.params,
-            self.caches, self._dev_state, n_steps=n)
-        packed = np.asarray(packed)      # (S+1, n) — the only download per chunk
-        toks = packed[:-1]
-        steps = int(packed[-1, 0])       # ≤ n: the loop exits once EVERY slot
-        self.steps_executed += steps     # hit a stop token or its budget
+        inner = self.decode_inner or n
+        prm = self.params_q if self.params_q is not None else self.params
+        if inner >= n:
+            self.caches, self._dev_state, packed = self._jit_decode(
+                prm, self.caches, self._dev_state, n_steps=n)
+            packed = np.asarray(packed)  # (S+1, n) — the only download per chunk
+            toks = packed[:-1]
+            steps = int(packed[-1, 0])   # ≤ n: the loop exits once EVERY slot
+        else:                            # hit a stop token or its budget
+            # chained inner dispatches, one concatenated readback: the host
+            # enqueues every dispatch before blocking, so the group costs one
+            # relay round-trip like a monolithic chunk
+            packeds = []
+            for _ in range(-(-n // inner)):
+                self.caches, self._dev_state, p = self._jit_decode(
+                    prm, self.caches, self._dev_state, n_steps=inner)
+                packeds.append(p)
+            packed = np.asarray(jnp.concatenate(packeds, axis=1))
+            segs, steps = [], 0
+            for i in range(len(packeds)):
+                seg = packed[:, i * inner:(i + 1) * inner]
+                s_i = int(seg[-1, 0])
+                segs.append(seg[:-1, :s_i])
+                steps += s_i
+            toks = np.concatenate(segs, axis=1)
+        self.steps_executed += steps
         # host mirrors advance arithmetically (the device did lengths+steps);
         # a released/admitted slot marks the state dirty and forces re-upload
         outputs: List[EngineOutput] = []
@@ -901,16 +936,20 @@ class DecodeEngine:
                     tok, lengths, next_pos, budget, key, toks)
 
         toks0 = jnp.zeros((S, n_steps), jnp.int32)
-        (steps, _, caches, last_token, lengths, next_pos, budget, key,
+        # `running` rides in the state so chained decode_inner dispatches
+        # keep the early-exit sticky: a later dispatch whose predecessors
+        # already stopped every slot exits at iteration 0
+        running0 = state.get("running", active) & active
+        (steps, running, caches, last_token, lengths, next_pos, budget, key,
          toks) = jax.lax.while_loop(
             cond, body,
-            (jnp.int32(0), active, caches, state["last_token"],
+            (jnp.int32(0), running0, caches, state["last_token"],
              state["lengths"], state["next_pos"], state["budget"],
              state["key"], toks0))
         new_state = {"last_token": last_token, "lengths": lengths,
                      "next_pos": next_pos, "active": active, "temps": temps,
                      "top_ps": top_ps, "top_ks": top_ks, "budget": budget,
-                     "stops": stops, "key": key}
+                     "stops": stops, "key": key, "running": running}
         # steps rides as an extra row of toks: ONE device→host transfer per
         # chunk instead of two (each blocking readback costs ~32 ms through
         # the relayed link — two per chunk was ~6% of in-pipeline decode wall)

@@ -47,7 +47,11 @@ def _attn_kernel(kvlen_ref, q_ref, k_ref, v_ref, o_ref, *,
     bq, D = q_ref.shape
     bh = pl.program_id(0)
     iq = pl.program_id(2)
-    q = q_ref[:].astype(jnp.float32) * scale
+    # keep matmul INPUTS in the stored dtype (bf16 MXU passes run at 4x the
+    # f32 rate; f32 happens in the accumulator via preferred_element_type) —
+    # the pre-r5 f32 upcast capped the kernel at ~11 TFLOP/s on v5e. The
+    # softmax scale is applied to the f32 logits, not the bf16 q.
+    q = q_ref[:]
     kv_len = kvlen_ref[bh]
 
     nk = seq_k // block_k
@@ -60,10 +64,10 @@ def _attn_kernel(kvlen_ref, q_ref, k_ref, v_ref, o_ref, *,
 
     def body(j, carry):
         m_prev, l_prev, acc_prev = carry
-        k = k_ref[pl.ds(j * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        k = k_ref[pl.ds(j * block_k, block_k), :]
+        v = v_ref[pl.ds(j * block_k, block_k), :]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)  # (bq, bk)
+                                preferred_element_type=jnp.float32) * scale
         col_ids = j * block_k + jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1)
         mask = col_ids < kv_len
         if causal:
@@ -75,7 +79,8 @@ def _attn_kernel(kvlen_ref, q_ref, k_ref, v_ref, o_ref, *,
         corr = jnp.exp(m_prev - m_new)
         l_new = l_prev * corr + p.sum(axis=-1, keepdims=True)
         acc_new = acc_prev * corr + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
         return m_new, l_new, acc_new
 
     m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
@@ -124,11 +129,12 @@ def _seg_kernel(kstart_ref, kend_ref, q_ref, k_ref, v_ref, segq_ref, segk_ref,
 
     @pl.when(overlap)
     def _compute():
-        q = q_ref[:].astype(jnp.float32) * scale
-        k = k_ref[:].astype(jnp.float32)
-        v = v_ref[:].astype(jnp.float32)
+        # bf16 matmul inputs, f32 accumulation (see _attn_kernel)
+        q = q_ref[:]
+        k = k_ref[:]
+        v = v_ref[:]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)  # (bq, bk)
+                                preferred_element_type=jnp.float32) * scale
         mask = seg_q[:, None] == seg_k[None, :]
         s = jnp.where(mask, s, NEG_INF)
         m_prev = m_sc[:]
@@ -137,7 +143,8 @@ def _seg_kernel(kstart_ref, kend_ref, q_ref, k_ref, v_ref, segq_ref, segk_ref,
         corr = jnp.exp(m_prev - m_new)
         l_sc[:] = l_sc[:] * corr + p.sum(axis=-1, keepdims=True)
         acc_sc[:] = acc_sc[:] * corr + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
         m_sc[:] = m_new
 
     @pl.when(j == nk - 1)
@@ -165,8 +172,8 @@ def flash_attention(
     attention_mask: Optional[jnp.ndarray] = None,   # (B, Lk) 1=valid
     *,
     causal: bool = True,
-    block_q: int = 128,
-    block_k: int = 128,
+    block_q: int = None,
+    block_k: int = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Flash attention; GQA KV heads folded into the grid (no K/V repeat).
@@ -176,6 +183,14 @@ def flash_attention(
     assert H % Hkv == 0, (H, Hkv)
     rep = H // Hkv
     scale = D ** -0.5
+    # default blocks: 512x512 won the r5 on-chip sweep at the socioseg
+    # prefill buckets (32.4 vs 13.8 TFLOP/s for the pre-r5 128x128+repeat;
+    # docs/BENCH_MATRIX_r5.md wave 13), shrunk to a lane-aligned fit for
+    # short sequences so padding never dominates
+    if block_q is None:
+        block_q = min(512, -(-Lq // 128) * 128)
+    if block_k is None:
+        block_k = min(512, -(-k.shape[1] // 128) * 128)
 
     # q: (B, H, Lq, D) → (B*Hkv, rep, Lq, D); q head h = hkv*rep + r shares
     # KV head hkv = h // rep, matching HF GQA broadcast order.

@@ -34,7 +34,9 @@ def _fwd_kernel(kvlen_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
     bq, D = q_ref.shape
     bh = pl.program_id(0)
     iq = pl.program_id(1)
-    q = q_ref[:].astype(jnp.float32) * scale
+    # bf16 matmul inputs + f32 accumulators (preferred_element_type):
+    # the pre-r5 f32 upcast ran the MXU at the quarter-rate f32 path
+    q = q_ref[:]
     kv_len = kvlen_ref[bh]
     hi = pl.cdiv(kv_len, block_k)
     if causal:
@@ -43,10 +45,10 @@ def _fwd_kernel(kvlen_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
 
     def body(j, carry):
         m_prev, l_prev, acc_prev = carry
-        k = k_ref[pl.ds(j * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        k = k_ref[pl.ds(j * block_k, block_k), :]
+        v = v_ref[pl.ds(j * block_k, block_k), :]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
+                                preferred_element_type=jnp.float32) * scale
         col_ids = j * block_k + jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1)
         mask = col_ids < kv_len
         if causal:
@@ -57,7 +59,8 @@ def _fwd_kernel(kvlen_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
         corr = jnp.exp(m_prev - m_new)
         l_new = l_prev * corr + p.sum(axis=-1, keepdims=True)
         acc_new = acc_prev * corr + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
         return m_new, l_new, acc_new
 
     m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
@@ -74,8 +77,8 @@ def _dq_kernel(kvlen_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     bq, D = q_ref.shape
     bh = pl.program_id(0)
     iq = pl.program_id(1)
-    q = q_ref[:].astype(jnp.float32)
-    do = do_ref[:].astype(jnp.float32)
+    q = q_ref[:]
+    do = do_ref[:]
     lse = lse_ref[:]                                   # (bq, 1)
     delta = delta_ref[:]                               # (bq, 1)
     kv_len = kvlen_ref[bh]
@@ -85,8 +88,8 @@ def _dq_kernel(kvlen_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     row_ids = iq * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 0)
 
     def body(j, dq):
-        k = k_ref[pl.ds(j * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        k = k_ref[pl.ds(j * block_k, block_k), :]
+        v = v_ref[pl.ds(j * block_k, block_k), :]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
         col_ids = j * block_k + jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1)
@@ -97,8 +100,9 @@ def _dq_kernel(kvlen_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         ds = p * (dp - delta) * scale
-        return dq + jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
-                                        preferred_element_type=jnp.float32)
+        return dq + jax.lax.dot_general(
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
     dq = jax.lax.fori_loop(0, hi, body, jnp.zeros((bq, D), jnp.float32))
     dq_ref[:] = dq.astype(dq_ref.dtype)
@@ -110,8 +114,8 @@ def _dkv_kernel(kvlen_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     bk, D = k_ref.shape
     bh = pl.program_id(0)
     jk = pl.program_id(1)
-    k = k_ref[:].astype(jnp.float32)
-    v = v_ref[:].astype(jnp.float32)
+    k = k_ref[:]
+    v = v_ref[:]
     kv_len = kvlen_ref[bh]
     col_ids = jk * bk + jax.lax.broadcasted_iota(jnp.int32, (block_q, bk), 1)
     nq = seq_q // block_q
@@ -125,8 +129,8 @@ def _dkv_kernel(kvlen_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
     def body(i, carry):
         dk, dv = carry
-        q = q_ref_full[pl.ds(i * block_q, block_q), :].astype(jnp.float32)
-        do = do_full[pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        q = q_ref_full[pl.ds(i * block_q, block_q), :]
+        do = do_full[pl.ds(i * block_q, block_q), :]
         lse = lse_full[pl.ds(i * block_q, block_q), :]
         delta = delta_full[pl.ds(i * block_q, block_q), :]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
@@ -137,13 +141,15 @@ def _dkv_kernel(kvlen_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         if causal:
             mask = mask & (col_ids <= row_ids)
         p = jnp.where(mask, jnp.exp(s - lse), 0.0)      # (bq, bk)
-        dv = dv + jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
-                                      preferred_element_type=jnp.float32)
+        dv = dv + jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         ds = p * (dp - delta) * scale
-        dk = dk + jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
-                                      preferred_element_type=jnp.float32)
+        dk = dk + jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
         return dk, dv
 
     dk0 = jnp.zeros((bk, D), jnp.float32)

@@ -292,3 +292,32 @@ def test_engine_batched_prefill_matches_sequential(setup):
     seq = run((1,))
     bat = run((1, 2, 4))
     assert bat == seq
+
+
+def test_engine_decode_inner_matches_monolithic_chunk(setup):
+    """decode_inner chains short while_loop dispatches with one readback per
+    chunk (the int8-KV fault workaround): token streams, mixed stop/budget
+    behavior and steps accounting must match the monolithic chunk exactly."""
+    config, params = setup
+    rng = np.random.default_rng(3)
+    prompts = [rng.integers(2, 200, size=n).tolist() for n in (5, 9, 7)]
+    # mixed budgets so slots stop at different steps inside a chunk
+    sps = [greedy_params(m) for m in (13, 4, 9)]
+
+    def run(**kw):
+        eng = DecodeEngine(config, params, max_slots=3, max_len=64,
+                           decode_chunk=8, prefill_buckets=(16,),
+                           cache_dtype=jnp.float32, **kw)
+        outs = eng.generate([Request(request_id=i, prompt_ids=p, sampling=s)
+                             for i, (p, s) in enumerate(zip(prompts, sps))])
+        outs.sort(key=lambda o: o.request_id)
+        return [o.output_ids for o in outs], eng.steps_executed
+
+    mono, steps_mono = run()
+    inner, steps_inner = run(decode_inner=2)
+    assert mono == inner
+    assert steps_mono == steps_inner
+
+    with pytest.raises(ValueError):
+        DecodeEngine(config, params, max_slots=1, max_len=64, decode_chunk=8,
+                     prefill_buckets=(16,), decode_inner=3)
