@@ -183,12 +183,13 @@ def flash_attention(
     assert H % Hkv == 0, (H, Hkv)
     rep = H // Hkv
     scale = D ** -0.5
-    # default blocks: 512x512 won the r5 on-chip sweep at the socioseg
-    # prefill buckets (32.4 vs 13.8 TFLOP/s for the pre-r5 128x128+repeat;
-    # docs/BENCH_MATRIX_r5.md wave 13), shrunk to a lane-aligned fit for
-    # short sequences so padding never dominates
+    # default blocks: 256x512 won the post-bf16-fix on-chip sweep at the
+    # socioseg prefill buckets (wave 14: 25.0 TFLOP/s @ L=2048, 33.7 @ 2560,
+    # vs 24.6/32.2 for 512x512 and 12.8/15.1 for the pre-r5 128x128;
+    # docs/BENCH_MATRIX_r5.md), shrunk to a lane-aligned fit for short
+    # sequences so padding never dominates
     if block_q is None:
-        block_q = min(512, -(-Lq // 128) * 128)
+        block_q = min(256, -(-Lq // 128) * 128)
     if block_k is None:
         block_k = min(512, -(-k.shape[1] // 128) * 128)
 
