@@ -394,6 +394,63 @@ def bench_decode_int8(params, config, rng):
     return 24 * nsteps / (time.perf_counter() - t0)
 
 
+def bench_prefill_w8a8(params, config):
+    """w8a8 prefill throughput (int8 weights x int8 activations on the MXU) at
+    the socioseg production admit shape (B=2, L=2048). This is the path the
+    DecodeEngine actually runs for admission when act_quant='int8' (chip-
+    verified e2e in r4 wave 9), timed here in isolation through the same
+    cached forward the engine prefill uses (text.py matmul_q applies weight
+    scales; the uncached x @ w would multiply int8 codes without scales).
+    VERDICT r4 item 5: the >=30k tok/s prefill target is only reachable on
+    the int8 MXU rate (394 TOPS vs 197 bf16) — bf16 dense would need 0.94 MFU."""
+    import gc
+
+    import jax
+    import jax.numpy as jnp
+    from socioreasoner_tpu.models.qwen2_5_vl import model as qmodel
+    from socioreasoner_tpu.models.qwen2_5_vl import rope as qrope
+    from socioreasoner_tpu.ops.flags import use_flash_attention
+    from socioreasoner_tpu.ops.quant import quantize_decode_params
+
+    qparams = quantize_decode_params(params, mode="int8")
+    gc.collect()
+    B, L, iters = 2, 2048, 8
+    rng = np.random.default_rng(0)
+    ids_stack = rng.integers(10, 100000, size=(iters, B, L))
+    attn = np.ones((B, L), np.int32)
+    pos, _ = qrope.get_rope_index(config, ids_stack[0], None, attn)
+    Lyr = config.text.num_hidden_layers
+    Hkv, D = config.text.num_key_value_heads, config.text.head_dim
+
+    @jax.jit
+    def fwd_loop(qparams, ids_stack, pos, attn):
+        cache_positions = jnp.broadcast_to(jnp.arange(L)[None], (B, L))
+
+        def body(i, c):
+            ids_i = jax.lax.dynamic_index_in_dim(ids_stack, i, keepdims=False)
+            cache = {"k": jnp.zeros((Lyr, B, L, Hkv, D), jnp.bfloat16),
+                     "v": jnp.zeros((Lyr, B, L, Hkv, D), jnp.bfloat16),
+                     "kv_valid": attn}
+            hidden, _ = qmodel.forward(config, qparams, ids_i, pos, None,
+                                       cache=cache,
+                                       cache_positions=cache_positions,
+                                       use_flash=use_flash_attention(),
+                                       logits=False, act_quant=True)
+            return c + hidden.astype(jnp.float32).mean()
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+
+    args = (qparams, jnp.asarray(ids_stack), jnp.asarray(pos),
+            jnp.asarray(attn))
+    float(fwd_loop(*args))                      # compile + warmup
+    t0 = time.perf_counter()
+    float(fwd_loop(*args))
+    dt = (time.perf_counter() - t0) / iters
+    tokens_per_s = B * L / dt
+    del qparams
+    gc.collect()
+    return tokens_per_s
+
+
 def bench_train_step(params, config):
     """One-chip 3B GRPO train-step + logprob throughput (VERDICT r4 item 4;
     ref metrics system/actor_train/tps, rlvr_socioseg_vlm_pipeline.py:1093-1108).
@@ -598,6 +655,16 @@ def main():
                 round(steady24_q, 1)
         except Exception as e:  # noqa: BLE001
             print(f"[bench] int8 decode skipped: {e}", file=sys.stderr)
+    if (os.environ.get("SOCIO_BENCH_W8A8", "1") == "1"
+            and prefill_tps is not None):
+        try:
+            w8a8_tps = bench_prefill_w8a8(params, config)
+            print(f"[bench] prefill w8a8 {w8a8_tps:.0f} tok/s", file=sys.stderr)
+            int8_detail["prefill_w8a8_tokens_per_s"] = round(w8a8_tps, 1)
+            int8_detail["prefill_w8a8_mfu_int8"] = round(
+                w8a8_tps * 2 * 3.1e9 / 394e12, 3)
+        except Exception as e:  # noqa: BLE001
+            print(f"[bench] w8a8 prefill skipped: {e}", file=sys.stderr)
     train_detail = {}
     if (os.environ.get("SOCIO_BENCH_TRAIN", "1") == "1"
             and prefill_tps is not None):
