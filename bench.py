@@ -596,11 +596,17 @@ def main():
     errors = {}
     tiles_per_s = socio_detail = h20 = None
     try:
+        if os.environ.get("SOCIO_BENCH_SOCIO", "1") != "1":
+            # phase-isolation knob: skip the ~40 min socioseg phase when
+            # validating the later phases (prefill/decode/w8a8/train) alone;
+            # the JSON line then falls back to the prefill metric
+            raise RuntimeError("socioseg phase skipped (SOCIO_BENCH_SOCIO=0)")
         tiles_per_s, socio_detail = bench_socioseg()
     except Exception as e:  # noqa: BLE001
         errors["socioseg_error"] = f"{type(e).__name__}: {e}"
         traceback.print_exc()
-        if os.environ.get("SOCIO_BENCH_TILES") is None:
+        if (os.environ.get("SOCIO_BENCH_TILES") is None
+                and os.environ.get("SOCIO_BENCH_SOCIO", "1") == "1"):
             # retry once at the conservative 8-tile bf16 config: never let
             # the tuned default (32 tiles + int8 weights) be the reason the
             # driver records no socioseg number at all

@@ -125,6 +125,11 @@ def main():
         ("int8w+w8a8", dict(mode="int8"), dict(weight_quant="int8",
                                                act_quant="int8"), True),
         ("int4w", dict(mode="int4"), dict(weight_quant="int4"), False),
+        # the decode-side KV-cache quantizer (wave-14 decode_inner=32
+        # workaround) — logits go through the same bf16 prefill, so only the
+        # greedy-decode agreement is the new information here
+        ("int8w+kvint8", dict(mode="int8"),
+         dict(weight_quant="int8", kv_quant="int8", decode_inner=16), False),
     ]
     for name, qkw, engine_kwargs, a8 in configs:
         if tiny and "int4" in name:
