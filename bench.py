@@ -225,7 +225,10 @@ def bench_socioseg(n_tiles: int = None, max_new: int = 256, tiny: bool = False,
                        "act_quant": act_quant,
                        "cache_dtype": jnp.bfloat16})
 
+    t_w = time.perf_counter()
     pipe._two_stage(dataset)                      # warmup: all compiles
+    print(f"[bench] socioseg warmup done in {time.perf_counter() - t_w:.0f}s",
+          file=sys.stderr, flush=True)
     engines = [w.engine for w in pipe.decode_replicas
                if getattr(w, "engine", None) is not None]
     # median-of-N timed runs (VERDICT r4 weak #1: the headline swung ±25%
@@ -239,6 +242,13 @@ def bench_socioseg(n_tiles: int = None, max_new: int = 256, tiny: bool = False,
         out = pipe._two_stage(dataset)
         durations.append(time.perf_counter() - t0)
         steps_per_run.append(sum(e.steps_executed for e in engines) - steps0)
+        # progress evidence: a timed-out run should still leave the per-run
+        # numbers in the log (the 3-run socioseg phase can exceed an outer
+        # timeout when a cold remote compile eats the budget)
+        print(f"[bench] socioseg run {len(durations)}/{n_runs}: "
+              f"{durations[-1]:.1f}s, {steps_per_run[-1]} steps "
+              f"({n_tiles / durations[-1]:.3f} tiles/s)",
+              file=sys.stderr, flush=True)
     mid = sorted(range(n_runs), key=lambda i: durations[i])[n_runs // 2]
     dt, steps = durations[mid], steps_per_run[mid]
     spread = ((max(durations) - min(durations)) / dt) if n_runs > 1 else 0.0
