@@ -20,6 +20,7 @@ Labeled `anchor: theoretical-h20-model` in detail.
 """
 
 import json
+import sys
 import time
 
 import numpy as np
